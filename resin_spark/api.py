@@ -1,0 +1,57 @@
+"""Public facade (SURVEY.md §7 file sketch): write/index/search/optimize.
+
+Mirrors the reference's session surface:
+* build_index / resume_build  — WriteSession + IndexSession (§3.2)
+* SearchEngine.search         — SearchSession (§3.1)
+* compact                     — `sir optimize` segment compaction (§3.3)
+* truncate                    — SessionFactory.Truncate (S12)
+* save_as                     — SaveAsJob CTAS (X11)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from resin_spark.build import build_index, compact, resume_build, _rm
+from resin_spark.executor import SearchEngine
+
+__all__ = [
+    "SearchEngine",
+    "build_index",
+    "resume_build",
+    "compact",
+    "truncate",
+    "save_as",
+]
+
+
+def truncate(spark: SparkSession, root: str) -> None:
+    """Drop a whole collection (docs + indexes) — S12."""
+    _rm(spark, root)
+
+
+def truncate_index(spark: SparkSession, root: str) -> None:
+    """Drop only the index tables, keep docs — SessionFactory.cs:79-110."""
+    from resin_spark import build as B
+
+    for p in (B.p_postings(root), B.p_doclens(root), B.p_stats(root)):
+        _rm(spark, p)
+
+
+def save_as(
+    engine: SearchEngine,
+    query: dict,
+    new_root: str,
+    k: int = 0,
+    fields=None,
+) -> dict:
+    """X11 SaveAs: run a query, write results as a new indexed collection
+    (SaveAsJob.Execute, /root/reference/src/Sir.HttpServer/Features/
+    SaveAsJob.cs:53-95)."""
+    result = engine.search(query, k=k).drop("score")
+    return build_index(
+        engine.spark,
+        result,
+        new_root,
+        fields=fields or engine.fields,
+    )

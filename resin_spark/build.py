@@ -1,0 +1,468 @@
+"""Distributed inverted-index build (SURVEY.md §2.4 I1-I13, §3.2).
+
+Replaces the reference's concurrent in-memory similarity-tree insert
+(/root/reference/src/Sir.VectorSpace/VectorNode.cs:114-171 MergeOrAdd*)
+with a declarative aggregation Catalyst can optimize end-to-end:
+
+    transcripts
+      -> doc_id assign (ids.py; join conv_dim)                    [narrow]
+      -> tokenize (JVM regex split, whole-stage codegen)          [narrow]
+      -> tf:  groupBy(field, doc_id, term).count()                [shuffle 1]
+      -> dl:  tf.groupBy(field, doc_id).sum(tf)   (reuses part.)  [narrow-ish]
+      -> postings: groupBy(field, term, block_id)
+             .agg(sorted postings block)                          [shuffle 2]
+      -> Arrow UDF: delta+varint encode blocks (postings.py)      [narrow]
+      -> write Parquet (zstd), sorted by (field, term)            [sink]
+
+Skew (hot terms) is handled *structurally*: the aggregation key includes
+``block_id`` (a range of conv_slots), so a term occurring in 30% of 10^12
+turns becomes millions of bounded-size block rows spread across all
+reducers instead of one giant posting list on one reducer — this is the
+"salted repartition" of the north rule with the salt made deterministic
+and query-meaningful (blocks double as WAND skip units).  AQE skew-join
+splitting stays enabled on top.
+
+Segments: the build is segmented by conv_id hash (segment = append unit,
+mirrors Resin pages I10/F5).  Each segment commits independently and
+writes a lineage receipt; ``resume_build`` anti-joins receipts to skip
+completed segments (checkpoint-resume, north rule).  ``compact`` merges
+all segments into one (Resin's ``optimize``, SessionFactory.cs:112-190).
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (ArrayType, BinaryType, IntegerType, LongType,
+                               StringType, StructField, StructType)
+
+from resin_spark import ids
+from resin_spark.postings import (decode_counts, decode_doc_ids,
+                                  encode_counts, encode_doc_ids)
+from resin_spark.tokenizer import chars_key_col, tokens_col
+
+DEFAULT_FIELDS = ("text", "role", "tool")
+# block = conv_slot >> CONV_BLOCK_BITS — 4096 conversations per block
+CONV_BLOCK_BITS = 12
+BLOCK_SHIFT = ids.TURN_BITS + CONV_BLOCK_BITS
+
+POSTINGS_FIELDS = [
+    StructField("field", StringType(), False),
+    StructField("term", StringType(), False),
+    StructField("block_id", LongType(), False),
+    StructField("df_block", LongType(), False),
+    StructField("max_tf", LongType(), False),
+    StructField("min_dl", LongType(), False),
+    StructField("doc_ids_bin", BinaryType(), False),
+    StructField("tfs_bin", BinaryType(), False),
+    StructField("dls_bin", BinaryType(), False),
+    StructField("chars_key", StringType(), False),
+]
+POSTINGS_SCHEMA = StructType(POSTINGS_FIELDS)
+POSTINGS_WITH_SEG = StructType(
+    POSTINGS_FIELDS + [StructField("segment", IntegerType(), False)]
+)
+
+
+# ---------------------------------------------------------------- paths
+def p_docs(root: str) -> str:
+    return f"{root}/docs"
+
+
+def p_conv_dim(root: str) -> str:
+    return f"{root}/conv_dim"
+
+
+def p_postings(root: str) -> str:
+    return f"{root}/postings"
+
+
+def p_doclens(root: str) -> str:
+    return f"{root}/doclens"
+
+
+def p_stats(root: str) -> str:
+    return f"{root}/stats"
+
+
+def p_lineage(root: str) -> str:
+    return f"{root}/lineage"
+
+
+def p_metrics(root: str) -> str:
+    return f"{root}/metrics"
+
+
+# ---------------------------------------------------------------- stages
+def tokenized(docs: DataFrame, fields: tuple[str, ...]) -> DataFrame:
+    """(doc_id, field, term) — one row per token occurrence.  Tokenization
+    is the JVM regex path (tokens_col) so the whole stage is codegen'd; the
+    pandas-UDF twin is used (and cross-checked) in tests."""
+    cols = [
+        F.struct(F.lit(f).alias("field"), tokens_col(f).alias("toks"))
+        for f in fields
+    ]
+    out = (
+        docs.select("doc_id", F.explode(F.array(*cols)).alias("ft"))
+        .select("doc_id", F.col("ft.field").alias("field"),
+                F.explode("ft.toks").alias("term"))
+    )
+    return out
+
+
+def term_frequencies(tokens: DataFrame) -> DataFrame:
+    """(field, doc_id, term, tf) — partial (map-side) + final hash agg."""
+    return tokens.groupBy("field", "doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+
+
+def doc_lengths(tf: DataFrame) -> DataFrame:
+    """(field, doc_id, dl) — dl = token occurrences per field per doc."""
+    return tf.groupBy("field", "doc_id").agg(F.sum("tf").alias("dl"))
+
+
+_ENCODE_OUT = StructType(
+    [
+        StructField("doc_ids_bin", BinaryType(), False),
+        StructField("tfs_bin", BinaryType(), False),
+        StructField("dls_bin", BinaryType(), False),
+    ]
+)
+
+
+def _encode_blocks(plists: pd.Series) -> pd.DataFrame:
+    """Arrow-batched block encoder: each element is a sorted list of
+    {doc_id, tf, dl} structs (as dicts after Arrow transfer)."""
+    docs_out, tfs_out, dls_out = [], [], []
+    for plist in plists:
+        d = np.fromiter((p["doc_id"] for p in plist), dtype=np.int64,
+                        count=len(plist))
+        t = np.fromiter((p["tf"] for p in plist), dtype=np.int64,
+                        count=len(plist))
+        l = np.fromiter((p["dl"] for p in plist), dtype=np.int64,
+                        count=len(plist))
+        docs_out.append(encode_doc_ids(d))
+        tfs_out.append(encode_counts(t))
+        dls_out.append(encode_counts(l))
+    return pd.DataFrame(
+        {"doc_ids_bin": docs_out, "tfs_bin": tfs_out, "dls_bin": dls_out}
+    )
+
+
+encode_blocks_udf = F.pandas_udf(_encode_blocks, returnType=_ENCODE_OUT)
+
+def _decode_blocks(rows: pd.DataFrame) -> pd.DataFrame:
+    out_docs, out_tfs, out_dls = [], [], []
+    for db, tb, lb in zip(rows["doc_ids_bin"], rows["tfs_bin"], rows["dls_bin"]):
+        out_docs.append(decode_doc_ids(bytes(db)).tolist())
+        out_tfs.append(decode_counts(bytes(tb)).tolist())
+        out_dls.append(decode_counts(bytes(lb)).tolist())
+    return pd.DataFrame(
+        {"doc_ids": out_docs, "tfs": out_tfs, "dls": out_dls}
+    )
+
+
+DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_ids", ArrayType(LongType()), False),
+        StructField("tfs", ArrayType(LongType()), False),
+        StructField("dls", ArrayType(LongType()), False),
+    ]
+)
+
+decode_blocks_udf = F.pandas_udf(
+    lambda d, t, l: _decode_blocks(pd.DataFrame({"doc_ids_bin": d, "tfs_bin": t, "dls_bin": l})),
+    returnType=DECODE_SCHEMA,
+)
+
+
+def postings_blocks(tf_dl: DataFrame, out_partitions: int | None = None) -> DataFrame:
+    """(field, term, block_id) -> encoded posting block.
+
+    tf_dl: (field, doc_id, term, tf, dl).  The group key includes block_id
+    so hot terms fan out across reducers (structural skew handling)."""
+    with_block = tf_dl.withColumn(
+        "block_id", F.shiftright(F.col("doc_id"), BLOCK_SHIFT)
+    )
+    grouped = with_block.groupBy("field", "term", "block_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("doc_id", "tf", "dl"))
+        ).alias("plist"),
+        F.count(F.lit(1)).alias("df_block"),
+        F.max("tf").alias("max_tf"),
+        F.min("dl").alias("min_dl"),
+    )
+    enc = grouped.withColumn("enc", encode_blocks_udf("plist")).select(
+        "field",
+        "term",
+        "block_id",
+        "df_block",
+        "max_tf",
+        "min_dl",
+        F.col("enc.doc_ids_bin").alias("doc_ids_bin"),
+        F.col("enc.tfs_bin").alias("tfs_bin"),
+        F.col("enc.dls_bin").alias("dls_bin"),
+        chars_key_col("term").alias("chars_key"),
+    )
+    if out_partitions:
+        enc = enc.repartition(out_partitions, "field", "term")
+    # sorted by term within files => Parquet min/max stats prune term lookups
+    return enc.sortWithinPartitions("field", "term", "block_id")
+
+
+def decoded_postings(postings: DataFrame) -> DataFrame:
+    """Explode encoded blocks back to (field, term, doc_id, tf, dl, segment).
+    Only call on a *matched* (term-filtered) subset at query time."""
+    dec = postings.withColumn(
+        "dec", decode_blocks_udf("doc_ids_bin", "tfs_bin", "dls_bin")
+    )
+    z = dec.select(
+        "field",
+        "term",
+        "segment",
+        F.explode(
+            F.arrays_zip(
+                F.col("dec.doc_ids").alias("doc_id"),
+                F.col("dec.tfs").alias("tf"),
+                F.col("dec.dls").alias("dl"),
+            )
+        ).alias("p"),
+    )
+    return z.select(
+        "field",
+        "term",
+        "segment",
+        F.col("p.doc_id").alias("doc_id"),
+        F.col("p.tf").alias("tf"),
+        F.col("p.dl").alias("dl"),
+    )
+
+
+# ---------------------------------------------------------------- lineage
+LINEAGE_SCHEMA = "segment int, step string, status string, n_rows long, wall_sec double"
+METRICS_SCHEMA = "segment int, phase string, metric string, value double"
+
+
+def _append_lineage(spark: SparkSession, root: str, segment: int, step: str,
+                    n_rows: int, wall_sec: float) -> None:
+    spark.createDataFrame(
+        [(segment, step, "complete", n_rows, float(wall_sec))],
+        schema=LINEAGE_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(p_lineage(root))
+
+
+def _append_metrics(spark: SparkSession, root: str, rows: list[tuple]) -> None:
+    spark.createDataFrame(rows, schema=METRICS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(p_metrics(root))
+
+
+def completed_segments(spark: SparkSession, root: str) -> set[int]:
+    try:
+        lin = spark.read.parquet(p_lineage(root))
+    except Exception:
+        return set()
+    rows = (
+        lin.filter((F.col("step") == "segment") & (F.col("status") == "complete"))
+        .select("segment")
+        .distinct()
+        .collect()
+    )
+    return {r.segment for r in rows}
+
+
+# ---------------------------------------------------------------- build
+def build_index(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    root: str,
+    fields: tuple[str, ...] = DEFAULT_FIELDS,
+    n_segments: int = 1,
+    overwrite: bool = True,
+    resume: bool = False,
+    out_partitions: int | None = None,
+) -> dict:
+    """Full index build.  Returns build stats (turns indexed, wall time).
+
+    One conv_dim for the whole corpus (doc_ids independent of
+    segmentation), then per segment: docs + doclens + stats + postings,
+    committed independently with a lineage receipt.
+    """
+    from resin_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    t0 = time.monotonic()
+    if overwrite and not resume:
+        _rm(spark, root)
+
+    transcripts = transcripts.persist()
+    conv_dim = ids.build_conv_dim(transcripts)
+    conv_dim.write.mode("overwrite").parquet(p_conv_dim(root))
+    conv_dim = spark.read.parquet(p_conv_dim(root))
+
+    done = completed_segments(spark, root) if resume else set()
+    seg_col = F.pmod(F.xxhash64("conv_id"), F.lit(n_segments)).cast("int")
+    total_turns = 0
+    for seg in range(n_segments):
+        if seg in done:
+            continue
+        seg_df = (
+            transcripts.withColumn("segment", seg_col)
+            .filter(F.col("segment") == seg)
+            if n_segments > 1
+            else transcripts.withColumn("segment", F.lit(0))
+        )
+        n = _build_segment(spark, seg_df, conv_dim, root, fields, seg)
+        total_turns += n
+    transcripts.unpersist()
+    wall = time.monotonic() - t0
+    return {"turns": total_turns, "wall_sec": wall, "segments": n_segments}
+
+
+def _build_segment(
+    spark: SparkSession,
+    seg_df: DataFrame,
+    conv_dim: DataFrame,
+    root: str,
+    fields: tuple[str, ...],
+    seg: int,
+) -> int:
+    t0 = time.monotonic()
+    docs = ids.with_doc_id(seg_df, conv_dim).drop("conv_slot")
+    # docs sorted by doc_id => parquet min/max stats make top-k fetch a
+    # row-group-pruned point lookup
+    (
+        docs.repartitionByRange(
+            max(2, spark.sparkContext.defaultParallelism), "doc_id"
+        )
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .parquet(f"{p_docs(root)}/segment={seg}")
+    )
+    docs = spark.read.parquet(f"{p_docs(root)}/segment={seg}")
+    n_docs = docs.count()
+
+    toks = tokenized(docs, fields)
+    tf = term_frequencies(toks)
+    dl = doc_lengths(tf)
+    dl.write.mode("overwrite").parquet(f"{p_doclens(root)}/segment={seg}")
+    dl = spark.read.parquet(f"{p_doclens(root)}/segment={seg}")
+
+    stats = dl.groupBy("field").agg(
+        F.sum("dl").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_docs_with_field"),
+    ).withColumn("n_docs", F.lit(n_docs))
+    stats.coalesce(1).write.mode("overwrite").parquet(
+        f"{p_stats(root)}/segment={seg}"
+    )
+
+    tf_dl = tf.join(dl, ["field", "doc_id"])
+    blocks = postings_blocks(tf_dl)
+    blocks.write.mode("overwrite").option("compression", "zstd").parquet(
+        f"{p_postings(root)}/segment={seg}"
+    )
+    n_blocks = spark.read.parquet(f"{p_postings(root)}/segment={seg}").count()
+
+    wall = time.monotonic() - t0
+    _append_lineage(spark, root, seg, "segment", n_docs, wall)
+    _append_metrics(
+        spark,
+        root,
+        [
+            (seg, "build", "n_docs", float(n_docs)),
+            (seg, "build", "n_posting_blocks", float(n_blocks)),
+            (seg, "build", "wall_sec", float(wall)),
+            (seg, "build", "docs_per_sec", float(n_docs / wall) if wall else 0.0),
+        ],
+    )
+    return n_docs
+
+
+def resume_build(spark, transcripts, root, **kw) -> dict:
+    """Re-run build_index skipping segments with lineage receipts."""
+    kw.setdefault("n_segments", 1)
+    return build_index(spark, transcripts, root, resume=True, overwrite=False, **kw)
+
+
+def compact(spark: SparkSession, root: str, fields=DEFAULT_FIELDS) -> None:
+    """Resin `optimize` (I12): merge all segments into segment 0.
+
+    Decodes all blocks, re-groups by (field, term, block_id) across
+    segments, re-encodes, and atomically swaps the postings dir.  Docs /
+    doclens / stats are compacted by plain re-partition-by-key rewrite."""
+    post = read_postings(spark, root)
+    dec = decoded_postings(post).drop("segment")
+    blocks = postings_blocks(dec)
+    tmp = f"{p_postings(root)}__compact"
+    blocks.write.mode("overwrite").option("compression", "zstd").parquet(
+        f"{tmp}/segment=0"
+    )
+    _swap_dir(spark, tmp, p_postings(root))
+
+    for sub in (p_doclens, p_stats, p_docs):
+        df = spark.read.option("basePath", sub(root)).parquet(f"{sub(root)}/segment=*")
+        tmp2 = f"{sub(root)}__compact"
+        if sub is p_stats:
+            out = df.groupBy("field").agg(
+                F.sum("total_tokens").alias("total_tokens"),
+                F.sum("n_docs_with_field").alias("n_docs_with_field"),
+                F.sum("n_docs").alias("n_docs"),
+            )
+            out.coalesce(1).write.mode("overwrite").parquet(f"{tmp2}/segment=0")
+        else:
+            df.drop("segment").write.mode("overwrite").parquet(f"{tmp2}/segment=0")
+        _swap_dir(spark, tmp2, sub(root))
+
+    _append_lineage(spark, root, 0, "compact", 0, 0.0)
+
+
+# ---------------------------------------------------------------- readers
+def read_postings(spark: SparkSession, root: str) -> DataFrame:
+    return spark.read.option("basePath", p_postings(root)).parquet(
+        f"{p_postings(root)}/segment=*"
+    )
+
+
+def read_docs(spark: SparkSession, root: str) -> DataFrame:
+    return spark.read.option("basePath", p_docs(root)).parquet(
+        f"{p_docs(root)}/segment=*"
+    )
+
+
+def read_stats(spark: SparkSession, root: str) -> DataFrame:
+    return spark.read.option("basePath", p_stats(root)).parquet(
+        f"{p_stats(root)}/segment=*"
+    )
+
+
+def read_doclens(spark: SparkSession, root: str) -> DataFrame:
+    return spark.read.option("basePath", p_doclens(root)).parquet(
+        f"{p_doclens(root)}/segment=*"
+    )
+
+
+# ---------------------------------------------------------------- fs utils
+def _hadoop_fs(spark):
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    return jvm.org.apache.hadoop.fs.FileSystem.get(conf), jvm
+
+
+def _rm(spark, path: str) -> None:
+    fs, jvm = _hadoop_fs(spark)
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    if fs.exists(p):
+        fs.delete(p, True)
+
+
+def _swap_dir(spark, src: str, dst: str) -> None:
+    fs, jvm = _hadoop_fs(spark)
+    Path = jvm.org.apache.hadoop.fs.Path
+    if fs.exists(Path(dst)):
+        fs.delete(Path(dst), True)
+    fs.rename(Path(src), Path(dst))

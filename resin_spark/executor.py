@@ -1,0 +1,293 @@
+"""Query execution: map → reduce → sort → fetch (SURVEY.md §2.7).
+
+The reference's pipeline (SearchSession.cs:48-71) becomes:
+
+* map    (X1/X2): predicate-pushed scan of the postings table —
+         ``field = f AND term IN (tokens)`` reaches the Parquet reader
+         (PushedFilters), and since postings files are sorted by
+         (field, term) the row-group min/max stats prune almost all I/O.
+         No tree walk, no per-segment loop: segments are just partitions.
+* score  (X6, north rule): BM25 with driver-computed idf/avgdl constants
+         folded into a single JVM expression (float64, op-order identical
+         to the oracle so scores match bit-for-bit).
+* reduce (X4/X5): Resin's boolean fold, faithfully, as DataFrame joins —
+         and=inner+sum, or=left+boost-existing-only, not=left_anti,
+         including the quirks: an unmatched term is *skipped* (not
+         intersected) and a term merged into an *empty* result re-inserts
+         all its postings (Reducer.cs:86-149).
+* sort   (X7): orderBy(score desc, doc_id asc).offset(skip).limit(take)
+         => TakeOrderedAndProject (true distributed top-k, no full sort).
+* fetch  (X8): late materialization — broadcast the k result keys against
+         the docs table (docs files are doc_id-sorted so min/max stats
+         prune the scan).
+
+Scale notes: the only data-proportional work is the postings scan of the
+queried terms' blocks; everything after operates on matched postings only.
+The per-query jobs (df lookup, emptiness probes) touch <= #terms rows.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import reduce as _functools_reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from resin_spark import build as B
+from resin_spark.query import Query, parse_query, query_terms
+from resin_spark.tokenizer import chars_key_py
+
+K1 = 1.2
+BB = 0.75
+
+
+class SearchEngine:
+    """Facade over an index at ``root`` (SURVEY.md §7 api.py)."""
+
+    def __init__(self, spark: SparkSession, root: str,
+                 fields: tuple[str, ...] = B.DEFAULT_FIELDS):
+        from resin_spark.session import ensure_package_shipped
+
+        ensure_package_shipped(spark)
+        self.spark = spark
+        self.root = root
+        self.fields = fields
+        self._stats: dict[str, dict] | None = None
+        self._cached: list[DataFrame] = []
+
+    # ------------------------------------------------------------ stores
+    def documents(self) -> DataFrame:
+        return B.read_docs(self.spark, self.root)
+
+    def postings(self) -> DataFrame:
+        return B.read_postings(self.spark, self.root)
+
+    def doc_count(self) -> int:
+        """S13 — GetDocCount (SessionFactory.cs:54-62)."""
+        return self.stats()[self.fields[0]]["n_docs"]
+
+    def scan(self, skip: int = 0, take: int = 0,
+             select: list[str] | None = None) -> DataFrame:
+        """S1 — ordered scan with skip/take paging + projection
+        (DocumentStreamSession.cs:28-47)."""
+        df = self.documents().orderBy("doc_id")
+        if skip:
+            df = df.offset(skip)
+        if take:
+            df = df.limit(take)
+        if select:
+            df = df.select(*select)
+        return df
+
+    def fetch(self, conv_id: str, turn_idx: int) -> DataFrame:
+        """S2 — point fetch by composite doc key; doc_id-sorted Parquet
+        makes this a min/max-pruned point lookup."""
+        return self.documents().filter(
+            (F.col("conv_id") == conv_id) & (F.col("turn_idx") == turn_idx)
+        )
+
+    # ------------------------------------------------------------ stats
+    def stats(self) -> dict[str, dict]:
+        """Per-field corpus stats aggregated over segments, driver-side.
+        avgdl = exact-int total_tokens / n_docs (bit-identical to oracle)."""
+        if self._stats is None:
+            rows = (
+                B.read_stats(self.spark, self.root)
+                .groupBy("field")
+                .agg(
+                    F.sum("total_tokens").alias("total_tokens"),
+                    F.sum("n_docs").alias("n_docs"),
+                )
+                .collect()
+            )
+            self._stats = {
+                r["field"]: {
+                    "total_tokens": r["total_tokens"],
+                    "n_docs": r["n_docs"],
+                    "avgdl": (r["total_tokens"] / r["n_docs"]) if r["n_docs"] else 0.0,
+                }
+                for r in rows
+            }
+        return self._stats
+
+    def idf(self, n_docs: int, df: int) -> float:
+        return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+    # ------------------------------------------------------------ search
+    def search(
+        self,
+        query: dict | Query,
+        k: int = 10,
+        skip: int = 0,
+        select: list[str] | None = None,
+        term_identity: str = "surface",
+    ) -> DataFrame:
+        """Boolean BM25 top-k.  Returns a DataFrame ordered by
+        (score desc, conv_id asc, turn_idx asc) with the selected doc
+        columns + score.  ``term_identity='charbag'`` reproduces Resin's
+        anagram-colliding char-bag term identity via chars_key."""
+        q = parse_query(query) if isinstance(query, dict) else query
+        ranked = self._ranked(q, term_identity)
+        ranked = ranked.orderBy(F.desc("score"), F.asc("doc_id"))
+        if skip:
+            ranked = ranked.offset(skip)
+        if k:
+            ranked = ranked.limit(k)
+
+        sel = select or q.select
+        docs = self.documents()
+        out = docs.join(F.broadcast(ranked), "doc_id")
+        cols = ["conv_id", "turn_idx"]
+        if sel:
+            cols += [c for c in sel if c not in ("conv_id", "turn_idx")]
+        else:
+            cols += [c for c in ("role", "text", "tool", "ts") if c in docs.columns]
+        out = out.select(*cols, "score")
+        return out.orderBy(F.desc("score"), F.asc("conv_id"), F.asc("turn_idx"))
+
+    def topk(self, query: dict | Query, k: int = 10, skip: int = 0,
+             term_identity: str = "surface") -> list[tuple[tuple[str, int], float]]:
+        """Collected form for oracle comparison."""
+        rows = self.search(query, k=k, skip=skip,
+                           select=["conv_id", "turn_idx"],
+                           term_identity=term_identity).collect()
+        return [((r["conv_id"], r["turn_idx"]), r["score"]) for r in rows]
+
+    # ------------------------------------------------------------ internals
+    def _key_col(self, term_identity: str) -> str:
+        return "term" if term_identity == "surface" else "chars_key"
+
+    def _ranked(self, q: Query, term_identity: str) -> DataFrame:
+        """(doc_id, score) after the boolean fold."""
+        key_col = self._key_col(term_identity)
+        terms = query_terms(q)
+        if not terms:
+            return self.spark.range(0).select(
+                F.col("id").alias("doc_id"), F.lit(0.0).alias("score")
+            )
+        by_field: dict[str, set[str]] = {}
+        for t in terms:
+            tok = t.token if term_identity == "surface" else chars_key_py(t.token)
+            by_field.setdefault(t.field, set()).add(tok)
+
+        # map phase: pushed-down postings scan of exactly the queried terms
+        pred = _functools_reduce(
+            lambda a, b: a | b,
+            [
+                (F.col("field") == f) & F.col(key_col).isin(sorted(toks))
+                for f, toks in by_field.items()
+            ],
+        )
+        matched = self.postings().filter(pred)
+        decoded = B.decoded_postings(
+            matched.select("field", key_col, "segment",
+                           "doc_ids_bin", "tfs_bin", "dls_bin")
+            .withColumnRenamed(key_col, "term")
+        )
+        if term_identity == "charbag":
+            # anagrams collide into one term node: occurrences merge
+            # (Resin MergeDocIds, GraphBuilder.cs:243-266)
+            decoded = decoded.groupBy("field", "term", "doc_id").agg(
+                F.sum("tf").alias("tf"), F.max("dl").alias("dl")
+            )
+        scored_base = decoded.persist()
+        self._cached.append(scored_base)
+
+        # df per (field, term-key): distinct docs across segments/anagrams
+        df_rows = (
+            scored_base.groupBy("field", "term")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .collect()
+        )
+        df_map = {(r["field"], r["term"]): r["df"] for r in df_rows}
+        stats = self.stats()
+
+        # one scoring expression; idf/avgdl folded in as literals with the
+        # same float64 op tree as the oracle (reference.py weight())
+        idf_expr = F.lit(0.0)
+        for (f, tkey), dfv in df_map.items():
+            idf_expr = F.when(
+                (F.col("field") == f) & (F.col("term") == tkey),
+                F.lit(self.idf(stats[f]["n_docs"], dfv)),
+            ).otherwise(idf_expr)
+        avgdl_expr = F.lit(0.0)
+        for f in by_field:
+            avgdl_expr = F.when(
+                F.col("field") == f, F.lit(stats[f]["avgdl"])
+            ).otherwise(avgdl_expr)
+        tf_d = F.col("tf").cast("double")
+        dl_d = F.col("dl").cast("double")
+        denom = tf_d + F.lit(K1) * (F.lit(1.0 - BB) + F.lit(BB) * dl_d / avgdl_expr)
+        scored = scored_base.withColumn("score", idf_expr * (tf_d / denom))
+
+        result = self._reduce_query(q, None, scored, df_map, term_identity)
+        if result is None:
+            return self.spark.range(0).select(
+                F.col("id").alias("doc_id"), F.lit(0.0).alias("score")
+            )
+        return result
+
+    def _term_df(self, scored: DataFrame, field: str, tkey: str) -> DataFrame:
+        return scored.filter(
+            (F.col("field") == field) & (F.col("term") == tkey)
+        ).select("doc_id", "score")
+
+    def _merge(self, result: DataFrame | None, incoming: DataFrame,
+               op: str) -> DataFrame | None:
+        """Reducer.cs:86-149 as DataFrame joins.  ``None`` or empty result
+        behaves like Resin's empty dict (insert-all for and/or)."""
+        if result is None or result.isEmpty():
+            if op == "not":
+                return result
+            return incoming
+        r = result.alias("r")
+        t = incoming.alias("t")
+        on = F.col("r.doc_id") == F.col("t.doc_id")
+        if op == "and":
+            return r.join(t, on, "inner").select(
+                F.col("r.doc_id").alias("doc_id"),
+                (F.col("r.score") + F.col("t.score")).alias("score"),
+            )
+        if op == "or":
+            return r.join(t, on, "left").select(
+                F.col("r.doc_id").alias("doc_id"),
+                (F.col("r.score") + F.coalesce(F.col("t.score"), F.lit(0.0))).alias("score"),
+            )
+        return r.join(t, on, "left_anti").select(
+            F.col("r.doc_id").alias("doc_id"), F.col("r.score").alias("score")
+        )
+
+    def _reduce_query(self, q: Query, result: DataFrame | None,
+                      scored: DataFrame, df_map: dict,
+                      term_identity: str) -> DataFrame | None:
+        """Reducer.cs:9-84 — terms into a fresh frame, merge under the
+        clause op, then chained and/or/not sub-queries."""
+        query_result: DataFrame | None = None
+        for t in q.terms:
+            tkey = t.token if term_identity == "surface" else chars_key_py(t.token)
+            if df_map.get((t.field, tkey), 0) == 0:
+                continue  # unmatched term skipped (Reducer.cs:88-89)
+            query_result = self._merge(
+                query_result, self._term_df(scored, t.field, tkey), t.op
+            )
+        if query_result is not None:
+            result = self._merge(result, query_result, q.op)
+        elif q.op == "and" and result is not None:
+            # empty fresh dict merged under AND: Resin intersects with an
+            # empty queryResult only when the sub-query had matched terms;
+            # with none at all, queryResult stays empty and the AND merge
+            # of an empty dict clears a non-empty result (Reducer.cs:24-39)
+            result = result.limit(0)
+        if q.and_q is not None:
+            result = self._reduce_query(q.and_q, result, scored, df_map, term_identity)
+        if q.or_q is not None:
+            result = self._reduce_query(q.or_q, result, scored, df_map, term_identity)
+        if q.not_q is not None:
+            result = self._reduce_query(q.not_q, result, scored, df_map, term_identity)
+        return result
+
+    def clear_cache(self) -> None:
+        for df in self._cached:
+            df.unpersist()
+        self._cached.clear()

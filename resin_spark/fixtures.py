@@ -1,0 +1,109 @@
+"""Deterministic synthetic transcript fixtures (FIXTURES.md §1, seed=42).
+
+Input-hint shape: (conv_id:string, turn_idx:int32, role:string, text:string,
+tool:string, ts:timestamp).  The vocabulary embeds the reference's test
+corpus verbatim (/root/reference/src/Sir.Store.Tests/IndexSessionTests.cs:16)
+plus filler terms, a Zipf-style hot term in ~30% of turns (exercises skew
+handling), unique planted terms (self-retrieval round trip), and the
+Unicode en-dash case from TextModelTests.cs:99 ("Ferriman–Gallwey score").
+
+Everything is seeded and pure: no wall clock, no Python string hash().
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+FRUIT_WORDS = [
+    "apple", "apples", "apricote", "apricots", "avocado", "avocados",
+    "banana", "bananas", "blueberry", "blueberries", "cantalope",
+]
+FILLER_WORDS = [
+    "the", "a", "run", "tool", "call", "score", "search", "engine",
+    "vector", "space", "index", "graph", "node", "query", "term",
+    # anagram trio — exercises Resin's char-bag identity (chars_key mode)
+    "listen", "silent", "enlist",
+] + [f"term{i}" for i in range(100)]
+HOT_TERM = "hot_term"  # note: tokenizes to ["hot", "term"] — we use hotterm
+# '_' is a separator under the tokenizer, so the skewed token is one run:
+HOT_TOKEN = "hotterm"
+ENDASH_TEXT = "Ferriman–Gallwey score"  # en-dash U+2013
+ROLES = ["user", "assistant", "tool"]
+
+EPOCH = dt.datetime(2025, 1, 1, 0, 0, 0)
+
+
+def _turns(i: int, max_turns: int) -> int:
+    return 1 + (i * 2654435761) % max_turns
+
+
+def _stable_hash(i: int, t: int) -> int:
+    # fixed arithmetic hash — NOT Python's randomized str hash
+    return (i * 2654435761 + t * 40503 + 42) & 0xFFFFFFFF
+
+
+def gen_transcripts(
+    n_convs: int = 20,
+    max_turns: int = 6,
+    n_unique_terms: int = 8,
+    seed: int = 42,
+) -> list[dict]:
+    """Deterministic transcript rows.  ``uterm{k}`` tokens are planted in
+    exactly one turn each (self-retrieval invariant, FIXTURES.md §4.2)."""
+    rows: list[dict] = []
+    total = 0
+    coords: list[tuple[int, int]] = []
+    for i in range(n_convs):
+        nt = _turns(i, max_turns)
+        for t in range(nt):
+            coords.append((i, t))
+        total += nt
+
+    # choose unique-term slots deterministically, spread over the corpus
+    uniq_slots = {}
+    if n_unique_terms > 0 and coords:
+        step = max(1, len(coords) // n_unique_terms)
+        for k in range(min(n_unique_terms, len(coords))):
+            uniq_slots[coords[(k * step) % len(coords)]] = f"uterm{k}"
+
+    vocab = FRUIT_WORDS + FILLER_WORDS
+    for i, t in coords:
+        rng = random.Random(_stable_hash(i, t) ^ seed)
+        n_tok = rng.randint(3, 12)
+        words = [vocab[rng.randrange(len(vocab))] for _ in range(n_tok)]
+        if rng.random() < 0.30:
+            words.insert(rng.randrange(len(words) + 1), HOT_TOKEN)
+        if (i, t) in uniq_slots:
+            words.append(uniq_slots[(i, t)])
+        text = " ".join(words)
+        # one known turn per 1000 convs carries the en-dash string
+        if i % 1000 == 0 and t == 0:
+            text = text + " " + ENDASH_TEXT
+        role = ROLES[(i + t) % 3]
+        tool = ""
+        if role == "tool" and (i + t) % 5 == 0:
+            tool = "search" if (i % 2 == 0) else "calc"
+        rows.append(
+            {
+                "conv_id": f"conv{i:08d}",
+                "turn_idx": t,
+                "role": role,
+                "text": text,
+                "tool": tool,
+                "ts": EPOCH + dt.timedelta(seconds=i * 3600 + t * 7),
+            }
+        )
+    return rows
+
+
+TRANSCRIPT_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts timestamp"
+)
+
+
+def transcripts_df(spark, n_convs: int = 20, max_turns: int = 6, **kw):
+    """Spark DataFrame of the fixture with the input-hint schema."""
+    rows = gen_transcripts(n_convs=n_convs, max_turns=max_turns, **kw)
+    return spark.createDataFrame(rows, schema=TRANSCRIPT_SCHEMA)

@@ -1,0 +1,65 @@
+"""SparkSession helpers: package shipping + tuned session defaults.
+
+``ensure_package_shipped`` zips the resin_spark package and registers it
+with ``sc.addPyFile`` so Arrow/pandas UDF closures (which reference
+resin_spark modules) import cleanly on every executor — the programmatic
+equivalent of ``spark-submit --py-files resin_spark.zip`` (north rule
+packaging requirement).  Called automatically by build_index and
+SearchEngine, idempotent per session.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import SparkSession
+
+_SHIPPED_ATTR = "_resin_spark_shipped"
+
+
+def package_zip() -> str:
+    """Create (once per process) a zip of the resin_spark package."""
+    import resin_spark
+
+    pkg_dir = os.path.dirname(os.path.abspath(resin_spark.__file__))
+    parent = os.path.dirname(pkg_dir)
+    out_dir = tempfile.mkdtemp(prefix="resin_spark_pkg_")
+    base = os.path.join(out_dir, "resin_spark")
+    return shutil.make_archive(base, "zip", root_dir=parent, base_dir="resin_spark")
+
+
+def ensure_package_shipped(spark: SparkSession) -> None:
+    if getattr(spark, _SHIPPED_ATTR, False):
+        return
+    spark.sparkContext.addPyFile(package_zip())
+    setattr(spark, _SHIPPED_ATTR, True)
+
+
+def make_session(
+    master: str = "local[*]",
+    app_name: str = "resin_spark",
+    shuffle_partitions: int | None = None,
+    extra: dict | None = None,
+) -> SparkSession:
+    """Tuned session: AQE on (runtime re-plan + skew splitting), Arrow on,
+    UTC.  shuffle_partitions defaults to 2x cores locally; on a real
+    cluster leave it to AQE coalescing."""
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+    )
+    if shuffle_partitions:
+        b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    for k, v in (extra or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    ensure_package_shipped(spark)
+    return spark

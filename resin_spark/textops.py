@@ -1,0 +1,122 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+These extend the engine beyond the reference's operator set (SURVEY.md
+§2.8 notes the gaps): language-ID, quality scoring, token counting and
+document fingerprinting over a text column.  All hot paths are JVM
+built-ins (whole-stage codegen); nothing here shuffles except the stated
+aggregations, so every op scales linearly with input splits.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from resin_spark.tokenizer import tokens_col
+
+# minimal deterministic stopword profiles for the language heuristic
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "una", "es", "por"],
+    "fr": ["le", "la", "de", "et", "un", "une", "est", "que", "pour", "dans"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "zu", "mit", "von"],
+}
+
+# BPE-ish pre-tokenization: letter runs, digit runs, single punct marks
+BPE_ISH_PATTERN = r"\p{L}+|\p{N}+|[^\p{L}\p{N}\s]"
+
+
+def token_count_col(text: Column | str) -> Column:
+    """Whitespace-free token count under the engine tokenizer."""
+    return F.size(tokens_col(text))
+
+
+def bpe_ish_count_col(text: Column | str) -> Column:
+    """Token count under a BPE-style pre-tokenizer regex."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0))
+
+
+def quality_columns(df: DataFrame, text: str = "text") -> DataFrame:
+    """Per-doc quality metrics: n_chars, n_tokens, mean token length,
+    punctuation ratio, stopword ratio (en).  All codegen'd built-ins."""
+    toks = tokens_col(text)
+    n_tok = F.size(toks)
+    alnum_chars = F.length(F.regexp_replace(F.col(text), r"[^\p{L}\p{N}]", ""))
+    punct_chars = F.length(F.regexp_replace(F.col(text), r"[\p{L}\p{N}\s]", ""))
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(STOPWORDS["en"]))
+    )
+    return df.select(
+        "*",
+        F.length(text).alias("n_chars_m"),
+        n_tok.alias("n_tokens"),
+        F.when(n_tok > 0, alnum_chars.cast("double") / n_tok).otherwise(0.0).alias("mean_token_len"),
+        F.when(F.length(text) > 0, punct_chars.cast("double") / F.length(text))
+        .otherwise(0.0)
+        .alias("punct_ratio"),
+        F.when(n_tok > 0, stop_hits.cast("double") / n_tok).otherwise(0.0).alias("stopword_ratio"),
+    )
+
+
+def lang_id_col(text: Column | str) -> Column:
+    """Heuristic language ID: argmax of stopword hits per language, 'und'
+    when nothing matches.  Deterministic tie-break = language order."""
+    toks = tokens_col(text)
+    scores = [
+        (lang, F.size(F.filter(toks, lambda t, ws=words: t.isin(ws))))
+        for lang, words in STOPWORDS.items()
+    ]
+    best = F.lit("und")
+    best_score = F.lit(0)
+    for lang, sc in scores:  # first language wins ties (> not >=)
+        is_better = sc > best_score
+        best = F.when(is_better, F.lit(lang)).otherwise(best)
+        best_score = F.when(is_better, sc).otherwise(best_score)
+    return best
+
+
+def fingerprint_col(text: Column | str) -> Column:
+    """Normalized-content fingerprint: md5 over the canonical token stream.
+    Two docs with equal fingerprints are exact duplicates modulo
+    whitespace/punctuation/case (the exact-dedup key)."""
+    return F.md5(F.array_join(tokens_col(text), " "))
+
+
+def rolling_fingerprints_py(text: str, window: int = 4,
+                            mod: int = (1 << 31) - 1) -> list[int]:
+    """Winnowing-style rolling hashes of token n-grams (pure-Python twin
+    used by tests; the Spark path is rolling_fingerprints_col)."""
+    from resin_spark.tokenizer import tokenize_py
+
+    toks = tokenize_py(text)
+    out = []
+    for i in range(max(0, len(toks) - window + 1)):
+        h = 0
+        for t in toks[i : i + window]:
+            h = (h * 1000003 + zlib.crc32(t.encode())) % mod
+        out.append(h)
+    return out
+
+
+def rolling_fingerprints_col(text: Column | str, window: int = 4) -> Column:
+    """Rolling token-n-gram hashes, JVM-side: crc32 per token, polynomial
+    combine per window via transform+aggregate (no Python in the loop)."""
+    # mod kept < 2^31 so acc*1000003+crc32 stays within int64 JVM-side
+    mod = (1 << 31) - 1
+    toks = tokens_col(text)
+    crcs = F.transform(toks, lambda t: F.crc32(t.cast("binary")))
+    n = F.size(crcs)
+    idxs = F.when(n >= window, F.sequence(F.lit(0), n - window)).otherwise(
+        F.expr("array()")
+    )
+    return F.transform(
+        idxs,
+        lambda i: F.aggregate(
+            F.slice(crcs, i + 1, window),
+            F.lit(0).cast("long"),
+            lambda acc, c: (acc * 1000003 + c) % F.lit(mod),
+        ),
+    )

@@ -1,0 +1,62 @@
+import shutil
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = (
+        SparkSession.builder.master("local[4]")
+        .appName("resin_spark_tests")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "4g")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def fixture_rows():
+    from resin_spark.fixtures import gen_transcripts
+
+    return gen_transcripts(n_convs=40, max_turns=6, n_unique_terms=8)
+
+
+@pytest.fixture(scope="session")
+def transcripts(spark, fixture_rows):
+    from resin_spark.fixtures import TRANSCRIPT_SCHEMA
+
+    return spark.createDataFrame(fixture_rows, schema=TRANSCRIPT_SCHEMA)
+
+
+@pytest.fixture(scope="session")
+def oracle(fixture_rows):
+    from resin_spark.reference import build_oracle_index
+
+    return build_oracle_index(fixture_rows)
+
+
+@pytest.fixture(scope="session")
+def index_root(spark, transcripts, tmp_path_factory):
+    from resin_spark.build import build_index
+
+    root = str(tmp_path_factory.mktemp("idx") / "collection")
+    build_index(spark, transcripts, root)
+    yield root
+    shutil.rmtree(root, ignore_errors=True)
+
+
+@pytest.fixture(scope="session")
+def engine(spark, index_root):
+    from resin_spark.executor import SearchEngine
+
+    return SearchEngine(spark, index_root)

@@ -1,0 +1,104 @@
+"""Rank-identity: Spark top-k == oracle top-k (docIDs exact, scores within
+1e-9, same deterministic tie-break) on the FIXTURES.md §3 query set."""
+
+import math
+
+import pytest
+
+from resin_spark.fixtures import FRUIT_WORDS
+from resin_spark.reference import oracle_search
+
+QUERIES = (
+    # q01..q11: single-term lookups over the reference vocabulary
+    [(f"q{i+1:02d}", {"or": {"collection": "transcripts", "text": w}}, {})
+     for i, w in enumerate(FRUIT_WORDS)]
+    + [
+        ("q12", {"and": {"collection": "transcripts", "text": "banana cantalope"}}, {}),
+        ("q13", {"or": {"collection": "transcripts", "text": "apple banana"}}, {}),
+        ("q14", {"and": {"collection": "transcripts", "text": "apple",
+                          "not": {"text": "apples"}}}, {}),
+        ("q15", {"and": {"collection": "transcripts", "text": "hotterm"}}, {}),
+        ("q16", {"or": {"collection": "transcripts",
+                         "text": "ferriman gallwey score"}}, {}),
+        ("q17", {"and": {"collection": "transcripts", "text": "banana cantalope"}},
+         {"skip": 5, "k": 5}),
+        ("q19", {"and": {"collection": "transcripts", "role": "tool",
+                          "and": {"text": "search"}}}, {}),
+        # extra coverage beyond the fixture list
+        ("x_and3", {"and": {"text": "banana apple the"}}, {}),
+        ("x_or3", {"or": {"text": "vector space index"}}, {}),
+        ("x_not_chain", {"or": {"text": "apple apples",
+                                 "not": {"text": "banana"}}}, {}),
+        ("x_missing_and", {"and": {"text": "apple zzznope"}}, {}),
+        ("x_take0", {"and": {"text": "blueberries"}}, {"k": 0}),
+    ]
+)
+
+
+def _assert_rank_identical(spark_hits, oracle_hits, qid):
+    assert [h[0] for h in spark_hits] == [h[0] for h in oracle_hits], qid
+    for (k1, s1), (k2, s2) in zip(spark_hits, oracle_hits):
+        assert math.isclose(s1, s2, rel_tol=0, abs_tol=1e-9), (qid, k1, s1, s2)
+
+
+@pytest.mark.parametrize("qid,query,kw", QUERIES, ids=[q[0] for q in QUERIES])
+def test_rank_identity(engine, oracle, qid, query, kw):
+    k = kw.get("k", 10)
+    skip = kw.get("skip", 0)
+    got = engine.topk(query, k=k, skip=skip)
+    want = oracle_search(oracle, query, k=k, skip=skip)
+    _assert_rank_identical(got, want, qid)
+
+
+def test_q18_select_projection(engine, oracle):
+    """q18: select=[conv_id, turn_idx, role] projection."""
+    df = engine.search({"or": {"text": "apple"}}, k=10,
+                       select=["conv_id", "turn_idx", "role"])
+    rows = df.collect()
+    assert rows
+    assert set(rows[0].asDict().keys()) == {"conv_id", "turn_idx", "role", "score"}
+    want = oracle_search(oracle, {"or": {"text": "apple"}}, k=10)
+    assert [(r["conv_id"], r["turn_idx"]) for r in rows] == [k for k, _ in want]
+
+
+def test_charbag_identity_anagrams(engine, oracle):
+    """Resin char-bag identity: 'listen' query matches docs containing
+    'silent'/'enlist' (one merged node).  Spark vs an oracle over the
+    charbag-transformed index."""
+    from resin_spark.reference import OracleIndex
+
+    # build charbag oracle: merge postings by chars_key
+    from resin_spark.tokenizer import chars_key_py
+
+    cb = OracleIndex(
+        n_docs=oracle.n_docs,
+        doclens=oracle.doclens,
+        total_tokens=oracle.total_tokens,
+        docs=oracle.docs,
+    )
+    for fld, terms in oracle.postings.items():
+        out = cb.postings.setdefault(fld, {})
+        for term, plist in terms.items():
+            key = chars_key_py(term)
+            dst = out.setdefault(key, {})
+            for dk, tf in plist.items():
+                dst[dk] = dst.get(dk, 0) + tf
+
+    got = engine.topk({"or": {"text": "listen"}}, k=10, term_identity="charbag")
+    want = oracle_search(cb, {"or": {"text": "eilnst"}}, k=10)
+    _assert_rank_identical(got, want, "charbag")
+    # and the merged postings really include silent/enlist docs
+    merged_docs = {k for k, _ in oracle_search(cb, {"or": {"text": "eilnst"}}, k=0)}
+    silent_docs = {k for k, _ in oracle_search(oracle, {"or": {"text": "silent"}}, k=0)}
+    assert silent_docs <= merged_docs
+
+
+def test_self_retrieval_spark(engine, fixture_rows):
+    planted = {}
+    for r in fixture_rows:
+        for tok in r["text"].split():
+            if tok.startswith("uterm"):
+                planted[tok] = (r["conv_id"], r["turn_idx"])
+    for tok, key in list(planted.items())[:4]:
+        hits = engine.topk({"or": {"text": tok}}, k=1)
+        assert hits and hits[0][0] == key, tok
