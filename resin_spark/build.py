@@ -102,15 +102,19 @@ def tokenized(docs: DataFrame, fields: tuple[str, ...]) -> DataFrame:
     """(doc_id, field, term) — one row per token occurrence.  Tokenization
     is the JVM regex path (tokens_col) so the whole stage is codegen'd; the
     pandas-UDF twin is used (and cross-checked) in tests."""
-    cols = [
-        F.struct(F.lit(f).alias("field"), tokens_col(f).alias("toks"))
+    parts = [
+        docs.select(
+            "doc_id",
+            F.lit(f).alias("field"),
+            F.explode(tokens_col(f)).alias("term"),
+        )
         for f in fields
     ]
-    out = (
-        docs.select("doc_id", F.explode(F.array(*cols)).alias("ft"))
-        .select("doc_id", F.col("ft.field").alias("field"),
-                F.explode("ft.toks").alias("term"))
-    )
+    out = parts[0]
+    for p in parts[1:]:
+        # one column-pruned pass per field (each scan reads only its own
+        # string column) — cheaper than building struct arrays per row
+        out = out.unionByName(p)
     return out
 
 
@@ -135,20 +139,16 @@ _ENCODE_OUT = StructType(
 )
 
 
-def _encode_blocks(plists: pd.Series) -> pd.DataFrame:
-    """Arrow-batched block encoder: each element is a sorted list of
-    {doc_id, tf, dl} structs (as dicts after Arrow transfer)."""
+def _encode_blocks(doc_ids: pd.Series, tfs: pd.Series,
+                   dls: pd.Series) -> pd.DataFrame:
+    """Arrow-batched block encoder over three parallel primitive arrays —
+    Arrow hands each cell over as a numpy array, so the codec runs fully
+    vectorized (no per-element Python)."""
     docs_out, tfs_out, dls_out = [], [], []
-    for plist in plists:
-        d = np.fromiter((p["doc_id"] for p in plist), dtype=np.int64,
-                        count=len(plist))
-        t = np.fromiter((p["tf"] for p in plist), dtype=np.int64,
-                        count=len(plist))
-        l = np.fromiter((p["dl"] for p in plist), dtype=np.int64,
-                        count=len(plist))
-        docs_out.append(encode_doc_ids(d))
-        tfs_out.append(encode_counts(t))
-        dls_out.append(encode_counts(l))
+    for d, t, l in zip(doc_ids, tfs, dls):
+        docs_out.append(encode_doc_ids(np.asarray(d, dtype=np.int64)))
+        tfs_out.append(encode_counts(np.asarray(t, dtype=np.int64)))
+        dls_out.append(encode_counts(np.asarray(l, dtype=np.int64)))
     return pd.DataFrame(
         {"doc_ids_bin": docs_out, "tfs_bin": tfs_out, "dls_bin": dls_out}
     )
@@ -197,7 +197,17 @@ def postings_blocks(tf_dl: DataFrame, out_partitions: int | None = None) -> Data
         F.max("tf").alias("max_tf"),
         F.min("dl").alias("min_dl"),
     )
-    enc = grouped.withColumn("enc", encode_blocks_udf("plist")).select(
+    # split the sorted struct list into parallel primitive arrays JVM-side:
+    # Arrow then transfers numpy-ready buffers instead of per-element dicts
+    grouped = grouped.select(
+        "field", "term", "block_id", "df_block", "max_tf", "min_dl",
+        F.col("plist.doc_id").alias("p_docs"),
+        F.col("plist.tf").alias("p_tfs"),
+        F.col("plist.dl").alias("p_dls"),
+    )
+    enc = grouped.withColumn(
+        "enc", encode_blocks_udf("p_docs", "p_tfs", "p_dls")
+    ).select(
         "field",
         "term",
         "block_id",
@@ -348,7 +358,9 @@ def _build_segment(
     n_docs = docs.count()
 
     toks = tokenized(docs, fields)
-    tf = term_frequencies(toks)
+    # tf feeds doclens, stats AND postings — persist so tokenize+agg runs
+    # once (at cluster scale: persist(DISK_ONLY) or a checkpoint table)
+    tf = term_frequencies(toks).persist()
     dl = doc_lengths(tf)
     dl.write.mode("overwrite").parquet(f"{p_doclens(root)}/segment={seg}")
     dl = spark.read.parquet(f"{p_doclens(root)}/segment={seg}")
@@ -366,7 +378,7 @@ def _build_segment(
     blocks.write.mode("overwrite").option("compression", "zstd").parquet(
         f"{p_postings(root)}/segment={seg}"
     )
-    n_blocks = spark.read.parquet(f"{p_postings(root)}/segment={seg}").count()
+    tf.unpersist()
 
     wall = time.monotonic() - t0
     _append_lineage(spark, root, seg, "segment", n_docs, wall)
@@ -375,7 +387,6 @@ def _build_segment(
         root,
         [
             (seg, "build", "n_docs", float(n_docs)),
-            (seg, "build", "n_posting_blocks", float(n_blocks)),
             (seg, "build", "wall_sec", float(wall)),
             (seg, "build", "docs_per_sec", float(n_docs / wall) if wall else 0.0),
         ],

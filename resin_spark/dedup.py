@@ -86,12 +86,15 @@ def minhash_signature_col(text, n_hashes: int = 32, k: int = 3):
     params = _minhash_params(n_hashes)
     sh = shingles_col(text, k)
     crcs = F.transform(sh, lambda s: F.crc32(s.cast("binary")))
+    def perm(a: int, b: int):
+        # NOTE: Spark counts lambda params to bind HOF variables, so the
+        # closure must be built by a factory, not via default args.
+        return lambda c: (F.lit(a) * c + F.lit(b)) % F.lit(MERSENNE31)
+
     sig = [
         F.when(
             F.size(crcs) > 0,
-            F.array_min(
-                F.transform(crcs, lambda c, a=a, b=b: (F.lit(a) * c + F.lit(b)) % F.lit(MERSENNE31))
-            ),
+            F.array_min(F.transform(crcs, perm(a, b))),
         ).otherwise(F.lit(MERSENNE31))
         for a, b in params
     ]
@@ -205,28 +208,30 @@ def _hash64_py(s: str) -> int:
 
 def simhash_col(text):
     """64-bit SimHash over tokens: per bit, sign of the sum of ±1
-    contributions.  Built-ins only (transform/aggregate over a 64-seq)."""
+    contributions.  Built-ins only; the 64 bit expressions are unrolled in
+    Python (shift amounts must be int literals in Spark)."""
     toks = tokens_col(text)
     hashes = F.transform(toks, _hash64_col)
-    bits = F.transform(
-        F.sequence(F.lit(0), F.lit(63)),
-        lambda b: F.aggregate(
+
+    def bit_sum(b: int):
+        return F.aggregate(
             hashes,
             F.lit(0).cast("long"),
             lambda acc, h: acc
-            + F.when(F.shiftrightunsigned(h, b.cast("int")).bitwiseAND(F.lit(1)) == 1,
-                     F.lit(1)).otherwise(F.lit(-1)),
-        ),
-    )
-    return F.aggregate(
-        F.zip_with(
-            bits,
-            F.sequence(F.lit(0), F.lit(63)),
-            lambda v, b: F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), b.cast("int"))).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc.bitwiseOR(x),
-    )
+            + F.when(
+                F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1)),
+        )
+
+    out = F.lit(0).cast("long")
+    for b in range(64):
+        mask = (1 << b) if b < 63 else -(1 << 63)  # avoid int64 overflow
+        out = out.bitwiseOR(
+            F.when(bit_sum(b) > 0, F.lit(mask).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return out
 
 
 def simhash_py(text: str) -> int:
@@ -250,20 +255,18 @@ def simhash_candidates(df: DataFrame, key: str = "doc_id", text: str = "text",
     """Near-dup pairs by SimHash: band the 64 bits into 4x16, bucket-join,
     verify Hamming distance <= max_hamming."""
     sh = df.select(F.col(key).alias("id"), simhash_col(text).alias("sh"))
+    # 4 bands of 16 bits, unrolled (shift amounts must be int literals)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned(F.col("sh"), b * 16)
+            .bitwiseAND(F.lit(0xFFFF))
+            .alias("bucket"),
+        )
+        for b in range(4)
+    ]
     banded = sh.select(
-        "id",
-        "sh",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(3)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.shiftrightunsigned(F.col("sh"), (b * 16).cast("int"))
-                    .bitwiseAND(F.lit(0xFFFF))
-                    .alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
+        "id", "sh", F.explode(F.array(*band_structs)).alias("bb")
     ).select("id", "sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (

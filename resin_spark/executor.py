@@ -221,7 +221,7 @@ class SearchEngine:
         denom = tf_d + F.lit(K1) * (F.lit(1.0 - BB) + F.lit(BB) * dl_d / avgdl_expr)
         scored = scored_base.withColumn("score", idf_expr * (tf_d / denom))
 
-        result = self._reduce_query(q, None, scored, df_map, term_identity)
+        result, _ = self._reduce_query(q, (None, False), scored, df_map, term_identity)
         if result is None:
             return self.spark.range(0).select(
                 F.col("id").alias("doc_id"), F.lit(0.0).alias("score")
@@ -233,61 +233,128 @@ class SearchEngine:
             (F.col("field") == field) & (F.col("term") == tkey)
         ).select("doc_id", "score")
 
-    def _merge(self, result: DataFrame | None, incoming: DataFrame,
-               op: str) -> DataFrame | None:
+    def _merge(self, state: tuple[DataFrame | None, bool], incoming: DataFrame,
+               op: str) -> tuple[DataFrame | None, bool]:
         """Reducer.cs:86-149 as DataFrame joins.  ``None`` or empty result
-        behaves like Resin's empty dict (insert-all for and/or)."""
-        if result is None or result.isEmpty():
+        behaves like Resin's empty dict (insert-all for and/or).
+
+        The bool in ``state`` is known_nonempty: emptiness only needs a
+        runtime probe (isEmpty, a limit-1 job) after an intersection may
+        have emptied the result — insert-all and OR/NOT merges preserve
+        non-emptiness, so single-term / pure-OR queries run probe-free."""
+        result, known_nonempty = state
+        if result is None or (not known_nonempty and result.isEmpty()):
             if op == "not":
-                return result
-            return incoming
+                return result, False
+            return incoming, True
         r = result.alias("r")
         t = incoming.alias("t")
         on = F.col("r.doc_id") == F.col("t.doc_id")
         if op == "and":
-            return r.join(t, on, "inner").select(
+            out = r.join(t, on, "inner").select(
                 F.col("r.doc_id").alias("doc_id"),
                 (F.col("r.score") + F.col("t.score")).alias("score"),
             )
+            return out, False  # intersection may be empty -> probe next time
         if op == "or":
-            return r.join(t, on, "left").select(
+            out = r.join(t, on, "left").select(
                 F.col("r.doc_id").alias("doc_id"),
                 (F.col("r.score") + F.coalesce(F.col("t.score"), F.lit(0.0))).alias("score"),
             )
-        return r.join(t, on, "left_anti").select(
+            return out, known_nonempty
+        out = r.join(t, on, "left_anti").select(
             F.col("r.doc_id").alias("doc_id"), F.col("r.score").alias("score")
         )
+        return out, False  # NOT can empty the result
 
-    def _reduce_query(self, q: Query, result: DataFrame | None,
+    def _reduce_query(self, q: Query, state: tuple[DataFrame | None, bool],
                       scored: DataFrame, df_map: dict,
-                      term_identity: str) -> DataFrame | None:
+                      term_identity: str) -> tuple[DataFrame | None, bool]:
         """Reducer.cs:9-84 — terms into a fresh frame, merge under the
         clause op, then chained and/or/not sub-queries."""
-        query_result: DataFrame | None = None
+        query_state: tuple[DataFrame | None, bool] = (None, False)
+        matched_any = False
         for t in q.terms:
             tkey = t.token if term_identity == "surface" else chars_key_py(t.token)
             if df_map.get((t.field, tkey), 0) == 0:
                 continue  # unmatched term skipped (Reducer.cs:88-89)
-            query_result = self._merge(
-                query_result, self._term_df(scored, t.field, tkey), t.op
-            )
-        if query_result is not None:
-            result = self._merge(result, query_result, q.op)
-        elif q.op == "and" and result is not None:
-            # empty fresh dict merged under AND: Resin intersects with an
-            # empty queryResult only when the sub-query had matched terms;
-            # with none at all, queryResult stays empty and the AND merge
-            # of an empty dict clears a non-empty result (Reducer.cs:24-39)
-            result = result.limit(0)
+            matched_any = True
+            term_df = self._term_df(scored, t.field, tkey)
+            if q.op == "not":
+                # clause-scoped NOT (query.py deviation note): union the
+                # clause's postings as the subtraction set
+                if query_state[0] is None:
+                    query_state = (term_df, True)
+                else:
+                    query_state = (
+                        query_state[0].unionByName(term_df)
+                        .groupBy("doc_id")
+                        .agg(F.max("score").alias("score")),
+                        True,
+                    )
+            else:
+                query_state = self._merge(query_state, term_df, t.op)
+        if matched_any:
+            state = self._merge(state, query_state[0], q.op)
+        elif q.terms and q.op == "and" and state[0] is not None:
+            # empty fresh dict merged under AND: the sub-query had terms
+            # but none matched, so queryResult stays empty and the AND
+            # merge of an empty dict clears a non-empty result
+            # (Reducer.cs:24-39)
+            state = (state[0].limit(0), False)
         if q.and_q is not None:
-            result = self._reduce_query(q.and_q, result, scored, df_map, term_identity)
+            state = self._reduce_query(q.and_q, state, scored, df_map, term_identity)
         if q.or_q is not None:
-            result = self._reduce_query(q.or_q, result, scored, df_map, term_identity)
+            state = self._reduce_query(q.or_q, state, scored, df_map, term_identity)
         if q.not_q is not None:
-            result = self._reduce_query(q.not_q, result, scored, df_map, term_identity)
-        return result
+            state = self._reduce_query(q.not_q, state, scored, df_map, term_identity)
+        return state
+
+    def vocabulary(self, field: str = "text") -> DataFrame:
+        """I5 Build (pure vocabulary): distinct terms of a field with df
+        (GraphBuilder.cs:201-241 built a doc-less term tree)."""
+        return (
+            self.postings()
+            .filter(F.col("field") == field)
+            .groupBy("term")
+            .agg(F.sum("df_block").alias("df"))
+        )
 
     def clear_cache(self) -> None:
         for df in self._cached:
             df.unpersist()
         self._cached.clear()
+
+
+def multi_search(
+    engines: dict[str, SearchEngine],
+    query: dict | Query,
+    k: int = 10,
+    term_identity: str = "surface",
+) -> DataFrame:
+    """X9 multi-collection search: one query spans collections; result
+    keys are (collection, doc) and scores use each collection's own
+    stats, exactly as the reference where Terms carry CollectionId and
+    the reduce dict is keyed (collectionId, docId) (Term.cs:11,
+    Reducer.cs:9).  Per-collection ranked frames union, then one global
+    top-k (TakeOrderedAndProject)."""
+    parts = []
+    for name, eng in engines.items():
+        q = parse_query(query) if isinstance(query, dict) else query
+        ranked = eng._ranked(q, term_identity)
+        docs = eng.documents().select("doc_id", "conv_id", "turn_idx")
+        parts.append(
+            docs.join(F.broadcast(ranked), "doc_id")
+            .select(
+                F.lit(name).alias("collection"),
+                "conv_id",
+                "turn_idx",
+                "score",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy(
+        F.desc("score"), F.asc("collection"), F.asc("conv_id"), F.asc("turn_idx")
+    ).limit(k)

@@ -76,6 +76,10 @@ def gen_transcripts(
             words.insert(rng.randrange(len(words) + 1), HOT_TOKEN)
         if (i, t) in uniq_slots:
             words.append(uniq_slots[(i, t)])
+        if i % 17 == 3 and t == 0:
+            # deterministic overlap docs: contain BOTH 'apple' and
+            # 'apples' so NOT-subtraction queries are non-vacuous
+            words.extend(["apple", "apples"])
         text = " ".join(words)
         # one known turn per 1000 convs carries the en-dash string
         if i % 1000 == 0 and t == 0:
@@ -101,6 +105,63 @@ TRANSCRIPT_SCHEMA = (
     "conv_id string, turn_idx int, role string, text string, "
     "tool string, ts timestamp"
 )
+
+
+def transcripts_df_distributed(spark, n_convs: int, max_turns: int = 12,
+                               words_per_turn: int = 8, partitions: int | None = None):
+    """Deterministic transcript corpus generated ENTIRELY with JVM
+    expressions — no driver-side row materialization, so it scales to the
+    bench sizes (10^5-10^7 turns locally, arbitrarily on a cluster).
+    Same schema/vocabulary/skew shape as gen_transcripts (hot token in
+    ~30% of turns; en-dash row once per 1000 convs)."""
+    from pyspark.sql import functions as F
+
+    vocab = FRUIT_WORDS + FILLER_WORDS
+    v = F.array(*[F.lit(w) for w in vocab])
+    nv = len(vocab)
+
+    base = spark.range(0, n_convs, 1, partitions or spark.sparkContext.defaultParallelism)
+    base = base.select(
+        F.col("id"),
+        F.format_string("conv%08d", F.col("id")).alias("conv_id"),
+        (F.lit(1) + (F.col("id") * F.lit(2654435761)) % F.lit(max_turns)).alias("n_turns"),
+    )
+    turns = base.select(
+        "id", "conv_id",
+        F.explode(F.sequence(F.lit(0), F.col("n_turns") - 1)).alias("turn_idx"),
+    )
+    h = F.xxhash64(F.col("id"), F.col("turn_idx"))
+
+    def word(j: int):
+        return F.element_at(v, (F.pmod(F.xxhash64(F.col("id"), F.col("turn_idx"), F.lit(j)), F.lit(nv)) + 1).cast("int"))
+
+    words = [word(j) for j in range(words_per_turn)]
+    text = F.concat_ws(" ", *words)
+    text = F.when(F.pmod(h, F.lit(10)) < 3, F.concat(text, F.lit(" " + HOT_TOKEN))).otherwise(text)
+    text = F.when(
+        (F.pmod(F.col("id"), F.lit(1000)) == 0) & (F.col("turn_idx") == 0),
+        F.concat(text, F.lit(" " + ENDASH_TEXT)),
+    ).otherwise(text)
+    role = F.element_at(
+        F.array(*[F.lit(r) for r in ROLES]),
+        (F.pmod(F.col("id") + F.col("turn_idx"), F.lit(3)) + 1).cast("int"),
+    )
+    tool = F.when(
+        (role == "tool") & (F.pmod(F.col("id") + F.col("turn_idx"), F.lit(5)) == 0),
+        F.when(F.pmod(F.col("id"), F.lit(2)) == 0, F.lit("search")).otherwise(F.lit("calc")),
+    ).otherwise(F.lit(""))
+    ts = F.timestamp_seconds(
+        F.unix_timestamp(F.lit("2025-01-01 00:00:00"))
+        + F.col("id") * 3600 + F.col("turn_idx") * 7
+    )
+    return turns.select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        role.alias("role"),
+        text.alias("text"),
+        tool.alias("tool"),
+        ts.alias("ts"),
+    )
 
 
 def transcripts_df(spark, n_convs: int = 20, max_turns: int = 6, **kw):

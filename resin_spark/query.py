@@ -15,6 +15,19 @@ both faithful to Reducer.cs:86-149:
 * or:  empty result -> insert all; else boost existing keys only
        (order-sensitive OR — new keys are NOT added, Reducer.cs:130-137)
 * not: remove keys (no-op on empty result)
+
+Documented deviation from the reference parser: QueryParser.Parse(dynamic)
+(QueryParser.cs:137-201) keeps and/or/not as STICKY flags that are never
+reset while walking nested clauses, chains every nested clause through the
+``.Or`` pointer only, and Term's constructor lets a later-set ``not`` flag
+clear an earlier ``and`` (Term.cs:29-31 property order) — the net effect
+is that a query like {"and": {"text": "apple", "not": {"text": "apples"}}}
+marks ALL terms as subtraction and evaluates to the empty set.  That is a
+parser artifact, not the documented intent (README.md:40 advertises
+AND/OR/NOT queries).  This rebuild scopes operators to their clause: a
+"not" clause's terms form the union of postings to subtract from the
+parent result, and nested clauses keep their own operators.  The Reducer
+fold semantics above are preserved exactly.
 """
 
 from __future__ import annotations
@@ -73,6 +86,30 @@ def parse_query(d: dict, *, skip: int = 0, take: int = 10,
             for tok in tokenize_py(str(value)):
                 q.terms.append(Term(field=key, token=tok, op=op))
     return q
+
+
+def parse_flat(
+    q: str,
+    fields: list[str],
+    op: str = "or",
+    collection: str | None = None,
+    select: list[str] | None = None,
+    skip: int = 0,
+    take: int = 10,
+) -> Query:
+    """Q1 programmatic parse (QueryParser.Parse(collections, q, fields,
+    select, and, or), QueryParser.cs:21-114): one query string searched
+    across multiple fields, fanned out into chained per-field clauses
+    under the same operator."""
+    d: dict = {}
+    cursor = d
+    for i, f in enumerate(fields):
+        clause: dict = {f: q}
+        if collection:
+            clause["collection"] = collection
+        cursor[op] = clause
+        cursor = clause
+    return parse_query(d, skip=skip, take=take, select=select)
 
 
 def query_terms(q: Query) -> list[Term]:

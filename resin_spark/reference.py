@@ -122,7 +122,16 @@ def _reduce_query(idx: OracleIndex, q: Query,
             # (Reducer.cs:88-89: PostingsOffsets == null -> return) —
             # an unmatched AND term does NOT empty the result.
             continue
-        query_result = _merge(query_result, ts, t.op)
+        if q.op == "not":
+            # clause-scoped NOT (see query.py deviation note): the terms
+            # of a "not" clause form the UNION of postings to subtract
+            if query_result is None:
+                query_result = dict(ts)
+            else:
+                for k, v in ts.items():
+                    query_result.setdefault(k, v)
+        else:
+            query_result = _merge(query_result, ts, t.op)
     if query_result is None:
         query_result = {}
     result = _merge(result, query_result, q.op)

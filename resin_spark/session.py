@@ -41,18 +41,26 @@ def make_session(
     master: str = "local[*]",
     app_name: str = "resin_spark",
     shuffle_partitions: int | None = None,
+    memory: str | None = None,
     extra: dict | None = None,
 ) -> SparkSession:
     """Tuned session: AQE on (runtime re-plan + skew splitting), Arrow on,
     UTC.  shuffle_partitions defaults to 2x cores locally; on a real
-    cluster leave it to AQE coalescing."""
+    cluster leave it to AQE coalescing.  In local mode the driver JVM is
+    the whole cluster — size its heap accordingly (only effective when the
+    JVM hasn't started yet, i.e. fresh process)."""
+    memory = memory or os.environ.get("RESIN_SPARK_DRIVER_MEM", "12g")
     b = (
         SparkSession.builder.master(master)
         .appName(app_name)
+        .config("spark.driver.memory", memory)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # posting-block rows carry large array cells; small Arrow batches
+        # bound per-task buffer memory in the codec UDFs
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
     )

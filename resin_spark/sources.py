@@ -1,0 +1,70 @@
+"""Document sources (SURVEY.md §2.1 S4-S6).
+
+The reference ships dataset-specific readers:
+* S4 Wikipedia: gzipped Cirrus-search JSON dump with per-field
+  store/index flags (src/Sir.Wikipedia/WikipediaHelper.cs:16-70)
+* S6 CommonCrawl WET: plain-text records -> (url, text) docs
+  (src/Sir.CommonCrawl/IndexWetFilesCommand.cs:41-85)
+
+Spark-first: gzip is transparent to spark.read.json / spark.read.text;
+the store/index flags become column selection — `store_fields` is what
+lands in the documents table, `index_fields` is what the tokenize stage
+consumes (build_index(fields=...)).  skip/take paging maps to
+offset/limit over a deterministic ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_json_docs(
+    spark: SparkSession,
+    path: str,
+    store_fields: list[str],
+    id_field: str | None = None,
+    skip: int = 0,
+    take: int = 0,
+) -> DataFrame:
+    """S4: (gzipped) JSON-lines -> projected docs.  Column pruning pushes
+    into the scan; gzip decompression is transparent (splittable formats
+    like zstd-parquet preferred at 100 TB — gzip is not splittable)."""
+    df = spark.read.json(path)
+    cols = [c for c in store_fields if c in df.columns]
+    out = df.select(*cols)
+    if skip or take:
+        order = id_field or cols[0]
+        out = out.orderBy(order)
+        if skip:
+            out = out.offset(skip)
+        if take:
+            out = out.limit(take)
+    return out
+
+
+def read_text_docs(spark: SparkSession, path: str) -> DataFrame:
+    """S6-style: plain text (optionally gzipped), one doc per line with a
+    stable line-hash id.  Real WET parsing (multi-line records) would use
+    text + a stateful mapPartitions; out of transcript scope."""
+    df = spark.read.text(path)
+    return df.select(
+        F.xxhash64("value").alias("doc_id"), F.col("value").alias("text")
+    ).filter(F.length("text") > 0)
+
+
+def transcripts_from_docs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Adapt any (id, text) document table to the engine's transcript
+    input shape: one single-turn conversation per document."""
+    return docs.select(
+        F.col(id_col).cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col(text_col).alias("text"),
+        F.lit("").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )

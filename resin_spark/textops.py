@@ -65,10 +65,12 @@ def lang_id_col(text: Column | str) -> Column:
     """Heuristic language ID: argmax of stopword hits per language, 'und'
     when nothing matches.  Deterministic tie-break = language order."""
     toks = tokens_col(text)
-    scores = [
-        (lang, F.size(F.filter(toks, lambda t, ws=words: t.isin(ws))))
-        for lang, words in STOPWORDS.items()
-    ]
+
+    def hits(words: list[str]):
+        # factory, not default-arg lambda: Spark counts lambda params
+        return F.size(F.filter(toks, lambda t: t.isin(words)))
+
+    scores = [(lang, hits(words)) for lang, words in STOPWORDS.items()]
     best = F.lit("und")
     best_score = F.lit(0)
     for lang, sc in scores:  # first language wins ties (> not >=)

@@ -88,7 +88,9 @@ def tokens_col(col: Column | str) -> Column:
     ends with a separator; filter them out (Resin only yields runs with
     embedding.Count > 0, BagOfCharsModel.cs:38-49)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.array_remove(F.split(F.lower(c), TOKEN_SEP_JAVA), "")
+    return F.array_remove(
+        F.split(F.lower(F.coalesce(c, F.lit(""))), TOKEN_SEP_JAVA), ""
+    )
 
 
 def chars_key_py(token: str) -> str:

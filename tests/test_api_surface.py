@@ -1,0 +1,100 @@
+"""API-surface coverage: save_as (X11), truncate (S12), vocabulary (I5),
+multi-collection search (X9), flat programmatic parse (Q1), sources
+(S4/S6)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from resin_spark import api, sources
+from resin_spark.build import build_index
+from resin_spark.executor import SearchEngine, multi_search
+from resin_spark.query import parse_flat, parse_query, query_terms
+
+
+def test_save_as_ctas(spark, engine, tmp_path):
+    new_root = str(tmp_path / "saved")
+    out = api.save_as(engine, {"or": {"text": "banana"}}, new_root, k=0)
+    assert out["turns"] > 0
+    sub = SearchEngine(spark, new_root)
+    assert sub.doc_count() == out["turns"]
+    # every saved doc contains the query term
+    for r in sub.documents().select("text").collect():
+        assert "banana" in r["text"].split()
+    # and the new collection is itself searchable
+    assert sub.topk({"or": {"text": "banana"}}, k=3)
+
+
+def test_truncate(spark, transcripts, tmp_path):
+    root = str(tmp_path / "trunc")
+    build_index(spark, transcripts, root)
+    api.truncate_index(spark, root)
+    # docs remain, index gone
+    assert spark.read.parquet(f"{root}/docs/segment=0").count() > 0
+    with pytest.raises(Exception):
+        spark.read.parquet(f"{root}/postings").collect()
+    api.truncate(spark, root)
+    with pytest.raises(Exception):
+        spark.read.parquet(f"{root}/docs").collect()
+
+
+def test_vocabulary(engine, oracle):
+    vocab = {r["term"]: r["df"] for r in engine.vocabulary("text").collect()}
+    want = {t: len(p) for t, p in oracle.postings["text"].items()}
+    assert vocab == want
+
+
+def test_multi_collection_search(spark, transcripts, engine, tmp_path):
+    root_b = str(tmp_path / "coll_b")
+    # second collection: the subset of turns containing 'banana'
+    sub = transcripts.filter(F.col("text").contains("banana"))
+    build_index(spark, sub, root_b)
+    eng_b = SearchEngine(spark, root_b)
+    hits = multi_search({"a": engine, "b": eng_b},
+                        {"or": {"text": "banana"}}, k=20).collect()
+    assert hits
+    colls = {r["collection"] for r in hits}
+    assert colls == {"a", "b"}
+    # global ordering by score desc
+    scores = [r["score"] for r in hits]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_parse_flat_multi_field():
+    q = parse_flat("search", ["text", "role"], op="and", collection="c")
+    terms = query_terms(q)
+    assert {(t.field, t.token, t.op) for t in terms} == {
+        ("text", "search", "and"),
+        ("role", "search", "and"),
+    }
+    # chained structure mirrors the reference head parser
+    assert q.and_q is not None and q.and_q.terms[0].field == "role"
+
+
+def test_parse_flat_executes(engine, oracle):
+    from resin_spark.reference import oracle_search
+
+    q = parse_flat("search", ["text"], op="or")
+    got = engine.topk(q, k=5)
+    want = oracle_search(oracle, {"or": {"text": "search"}}, k=5)
+    assert [g[0] for g in got] == [w[0] for w in want]
+
+
+def test_sources_json_roundtrip(spark, tmp_path):
+    import gzip
+    import json
+
+    p = tmp_path / "docs.json.gz"
+    with gzip.open(p, "wt") as f:
+        for i in range(10):
+            f.write(json.dumps({"title": f"t{i}", "text": f"body {i}",
+                                "junk": i}) + "\n")
+    df = sources.read_json_docs(spark, str(p), ["title", "text"],
+                                id_field="title", skip=2, take=5)
+    rows = df.collect()
+    assert len(rows) == 5
+    assert set(rows[0].asDict()) == {"title", "text"}
+
+    t = sources.transcripts_from_docs(
+        spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    )
+    assert t.columns == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]

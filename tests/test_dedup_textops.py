@@ -1,0 +1,177 @@
+"""Training-data ops: dedup suite + text analysis + similarity search.
+Spark implementations are checked against pure-Python twins on a
+deterministic corpus with planted duplicates."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from resin_spark import dedup, similarity, textops
+from resin_spark.tokenizer import tokenize_py
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "The quick brown fox jumps over the lazy dog!"),   # exact dup of 0 (normalized)
+        (2, "the quick brown fox jumps over the lazy cat"),    # near dup of 0
+        (3, "completely different content about spark engines"),
+        (4, "spark engines process completely different content"),
+        (5, "der hund und die katze sind zu haus"),            # German stopwords
+        (6, "el perro y la gata es que en un una"),            # Spanish stopwords
+        (7, "a tiny one"),
+        (8, "the quick brown fox jumps over the lazy dog"),    # exact dup of 0
+    ]
+    return spark.createDataFrame(base, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark, docs):
+    groups = dedup.exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert g["n_dups"] == 3 and g["keep_id"] == 0
+    assert g["dup_ids"] == [0, 1, 8]
+    kept = dedup.exact_dedup(docs).select("doc_id").collect()
+    assert sorted(r["doc_id"] for r in kept) == [0, 2, 3, 4, 5, 6, 7]
+
+
+def test_shingles_parity(spark, docs):
+    rows = docs.select("doc_id", dedup.shingles_col("text", 3).alias("sh")).collect()
+    for r in rows:
+        want = dedup.shingles_py(
+            [t for d, t in [(x["doc_id"], x["text"]) for x in docs.collect()]
+             if d == r["doc_id"]][0], 3)
+        assert r["sh"] == want
+
+
+def test_minhash_signature_parity(spark, docs):
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    rows = docs.select(
+        "doc_id", dedup.minhash_signature_col("text", 16, 3).alias("sig")
+    ).collect()
+    for r in rows:
+        assert r["sig"] == dedup.minhash_signature_py(texts[r["doc_id"]], 16, 3)
+
+
+def test_minhash_lsh_finds_neardups(spark, docs):
+    pairs = {(r["id_a"], r["id_b"])
+             for r in dedup.minhash_candidates(docs, n_hashes=16, bands=8).collect()}
+    assert (0, 1) in pairs and (0, 8) in pairs  # exact dups always collide
+    assert (0, 2) in pairs or (1, 2) in pairs   # near dup shares most shingles
+    assert (0, 3) not in pairs
+
+
+def test_jaccard_pairs(spark, docs):
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in dedup.jaccard_pairs(docs, k=3, threshold=0.5).collect()}
+    assert got[(0, 1)] == 1.0 and got[(0, 8)] == 1.0
+    # doc2 differs in last token: shingles 7, shared 6 => j = 6/8
+    assert math.isclose(got[(0, 2)], 6 / 8, abs_tol=1e-12)
+    assert (0, 3) not in got
+    # candidates path gives the same result on the same threshold
+    cand = dedup.minhash_candidates(docs, n_hashes=16, bands=8)
+    got2 = {(r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dedup.jaccard_pairs(docs, k=3, threshold=0.5,
+                                          candidates=cand).collect()}
+    assert got2[(0, 1)] == 1.0
+    assert set(got2) <= set(got)
+
+
+def test_simhash_parity_and_candidates(spark, docs):
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    rows = docs.select("doc_id", dedup.simhash_col("text").alias("sh")).collect()
+    for r in rows:
+        assert r["sh"] == _to_signed64(dedup.simhash_py(texts[r["doc_id"]])), r["doc_id"]
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in dedup.simhash_candidates(docs, max_hamming=8).collect()}
+    assert pairs.get((0, 1)) == 0 and pairs.get((0, 8)) == 0
+    assert (0, 3) not in pairs
+
+
+def _to_signed64(v: int) -> int:
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def test_token_counts(spark, docs):
+    rows = docs.select(
+        "doc_id", "text",
+        textops.token_count_col("text").alias("n"),
+        textops.bpe_ish_count_col("text").alias("nb"),
+    ).collect()
+    for r in rows:
+        assert r["n"] == len(tokenize_py(r["text"]))
+        assert r["nb"] >= r["n"]  # punctuation adds BPE-ish tokens
+
+
+def test_lang_id(spark, docs):
+    rows = {r["doc_id"]: r["lang"] for r in docs.select(
+        "doc_id", textops.lang_id_col("text").alias("lang")).collect()}
+    assert rows[0] == "en" and rows[5] == "de" and rows[6] == "es"
+
+
+def test_quality_columns(spark, docs):
+    out = textops.quality_columns(docs).filter(F.col("doc_id") == 1).collect()[0]
+    toks = tokenize_py("The quick brown fox jumps over the lazy dog!")
+    assert out["n_tokens"] == len(toks)
+    assert 0 < out["stopword_ratio"] < 1
+    assert out["punct_ratio"] > 0  # the '!'
+
+
+def test_fingerprint_normalization(spark, docs):
+    rows = {r["doc_id"]: r["fp"] for r in docs.select(
+        "doc_id", textops.fingerprint_col("text").alias("fp")).collect()}
+    assert rows[0] == rows[1] == rows[8]
+    assert rows[0] != rows[2]
+
+
+def test_rolling_fingerprints_parity(spark, docs):
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    rows = docs.select(
+        "doc_id", textops.rolling_fingerprints_col("text", 4).alias("fps")
+    ).collect()
+    for r in rows:
+        assert r["fps"] == textops.rolling_fingerprints_py(texts[r["doc_id"]], 4)
+
+
+# ---------------------------------------------------------------- similarity
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((50, 8)).astype("float32")
+    vecs[1] = vecs[0] * 1.5          # same direction as 0 => cosine 1
+    vecs[2] = vecs[0] + rng.standard_normal(8).astype("float32") * 0.05
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), vecs
+
+
+def test_cosine_topk_exact(spark, embeddings):
+    df, vecs = embeddings
+    import numpy as np
+
+    q = [float(x) for x in vecs[0]]
+    got = similarity.cosine_topk(df, q, k=5).collect()
+    sims = (vecs @ np.array(q)) / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
+    want = sorted(range(50), key=lambda i: (-sims[i], i))[:5]
+    assert [r["vec_id"] for r in got] == want
+    assert math.isclose(got[0]["cosine"], 1.0, abs_tol=1e-6)
+
+
+def test_ann_topk_recalls_neighbors(spark, embeddings):
+    df, vecs = embeddings
+    q = [float(x) for x in vecs[0]]
+    exact = [r["vec_id"] for r in similarity.cosine_topk(df, q, k=3).collect()]
+    approx = [r["vec_id"] for r in similarity.ann_topk(df, q, k=3, n_planes=6).collect()]
+    # parallel/near-identical vectors share the query's bucket
+    assert set(exact[:2]) <= set(approx)
+
+
+def test_cosine_neardup_pairs(spark, embeddings):
+    df, _ = embeddings
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             similarity.cosine_neardup_pairs(df, threshold=0.95).collect()}
+    assert (0, 1) in pairs and (0, 2) in pairs
+    assert all(a < b for a, b in pairs)

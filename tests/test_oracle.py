@@ -53,12 +53,27 @@ def test_or_order_sensitive(oracle):
 def test_not_subtraction(oracle):
     base = dict(oracle_search(oracle, {"and": {"text": "apple"}}, k=0))
     neg = dict(oracle_search(oracle, {"or": {"text": "apples"}}, k=0))
+    assert set(base) & set(neg), "fixture must plant apple+apples overlap"
     got = dict(
         oracle_search(
             oracle, {"and": {"text": "apple", "not": {"text": "apples"}}}, k=0
         )
     )
     assert set(got) == set(base) - set(neg)
+    assert set(got) < set(base)  # something actually subtracted
+
+
+def test_not_clause_multi_term_union(oracle):
+    """Terms of a 'not' clause union into one subtraction set."""
+    base = dict(oracle_search(oracle, {"and": {"text": "the"}}, k=0))
+    n1 = dict(oracle_search(oracle, {"or": {"text": "apple"}}, k=0))
+    n2 = dict(oracle_search(oracle, {"or": {"text": "banana"}}, k=0))
+    got = dict(
+        oracle_search(
+            oracle, {"and": {"text": "the", "not": {"text": "apple banana"}}}, k=0
+        )
+    )
+    assert set(got) == set(base) - (set(n1) | set(n2))
 
 
 def test_unmatched_term_skipped(oracle):

@@ -1,0 +1,55 @@
+"""Block-max WAND parity: pruned top-k must equal the exhaustive top-k
+exactly (docIDs and scores) — WAND is an optimization, never a semantics
+change (SURVEY.md §4.2.3)."""
+
+import math
+
+import pytest
+
+from resin_spark import wand
+
+
+CASES = [
+    (["banana"], "or"),
+    (["apple", "banana"], "or"),
+    (["banana", "cantalope"], "and"),
+    (["hotterm"], "or"),              # skewed posting list
+    (["hotterm", "apple"], "and"),
+    (["the", "a", "apple"], "or"),
+    (["zzznope"], "or"),              # no matches
+]
+
+
+@pytest.mark.parametrize("tokens,mode", CASES,
+                         ids=[f"{'+'.join(t)}:{m}" for t, m in CASES])
+def test_wand_equals_exact(spark, engine, tokens, mode):
+    got, stats = wand.wand_topk(spark, engine.root, tokens, k=10, mode=mode)
+    want, _ = wand.wand_topk(spark, engine.root, tokens, k=10, mode=mode,
+                             exact=True)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, s1), (_, s2) in zip(got, want):
+        assert math.isclose(s1, s2, rel_tol=0, abs_tol=1e-12)
+    assert stats["blocks_scored"] <= stats["blocks_total"]
+
+
+def test_wand_disjunction_matches_python(spark, engine, oracle):
+    """Full-disjunction semantics vs a brute-force python computation."""
+    tokens = ["apple", "banana"]
+    got, _ = wand.wand_topk(spark, engine.root, tokens, k=10, mode="or")
+
+    # brute force from the oracle index (standard disjunctive BM25)
+    import math as m
+
+    scores = {}
+    for t in tokens:
+        plist = oracle.postings["text"].get(t, {})
+        for key in plist:
+            scores[key] = scores.get(key, 0.0) + oracle.weight("text", t, key)
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[:10]
+
+    docs = {(r["conv_id"], r["turn_idx"]): r["doc_id"]
+            for r in engine.documents().select("conv_id", "turn_idx", "doc_id").collect()}
+    want_ids = [docs[k] for k, _ in want]
+    assert [d for d, _ in got] == want_ids
+    for (_, s1), (_, s2) in zip(got, want):
+        assert m.isclose(s1, s2, rel_tol=0, abs_tol=1e-9)
