@@ -148,7 +148,7 @@ def synthetic_media(spark, n: int = 32) -> DataFrame:
     rows = []
     for i in range(n):
         modality = ["image", "audio", "video"][i % 3]
-        content = (f"media{i:06d}".encode() * 7)[: 64 + i]
+        content = (f"media{i:06d}".encode() * 32)[: 64 + i]
         rows.append(
             (
                 i,
