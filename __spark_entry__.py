@@ -225,6 +225,105 @@ def _q_emb_topk(spark, sf):
     )
 
 
+# ------------------------------------------------- engine-backed queries
+# These build a REAL index (resin_spark.build) over the documents table
+# (mapped to the transcript shape: conv_id = zero-padded doc_id, one turn
+# per doc) and answer through the production read path — postings scan,
+# block decode, BM25, boolean fold, WAND — so the driver's oracle gate
+# verifies the full engine, not just the declarative recomputation above.
+_ENGINE_CACHE: dict[str, object] = {}
+
+
+def _engine(spark, sf):
+    if sf not in _ENGINE_CACHE:
+        import hashlib
+
+        from resin_spark import api
+
+        tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+        root = f"/tmp/resin_entry_idx_{tag}/coll"
+        t = _docs(spark, sf).select(
+            F.format_string("d%06d", F.col("doc_id")).alias("conv_id"),
+            F.lit(0).alias("turn_idx"),
+            F.col("text"),
+        )
+        api.build_index(spark, t, root, fields=("text",))
+        _ENGINE_CACHE[sf] = api.SearchEngine(spark, root, fields=("text",))
+    return _ENGINE_CACHE[sf]
+
+
+def _engine_result(ranked: DataFrame, k: int = 10) -> DataFrame:
+    """conv_id 'd%06d' -> original doc_id; re-rank by the ROUNDED score
+    (+ doc_id tie-break) so the LIMIT boundary matches the oracle's."""
+    return (
+        ranked.select(
+            F.substring("conv_id", 2, 6).cast("long").alias("doc_id"),
+            F.round("score", 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def _q_engine_topk(spark, sf):
+    eng = _engine(spark, sf)
+    return _engine_result(
+        eng.search({"or": {"text": "spark"}}, k=0, select=["conv_id", "turn_idx"])
+    )
+
+
+def _q_engine_and(spark, sf):
+    eng = _engine(spark, sf)
+    return _engine_result(
+        eng.search({"and": {"text": "spark query"}}, k=0,
+                   select=["conv_id", "turn_idx"])
+    )
+
+
+def _q_engine_not(spark, sf):
+    eng = _engine(spark, sf)
+    return _engine_result(
+        eng.search({"and": {"text": "spark", "not": {"text": "window"}}},
+                   k=0, select=["conv_id", "turn_idx"])
+    )
+
+
+def _q_wand_topk(spark, sf):
+    """Block-max WAND (pruned) disjunction — must equal the exhaustive
+    BM25 OR-sum oracle exactly."""
+    from resin_spark import wand
+
+    eng = _engine(spark, sf)
+    hits, _ = wand.wand_topk(spark, eng.root, ["spark", "table"], k=10, mode="or")
+    hit_df = spark.createDataFrame(
+        [(int(d), float(s)) for d, s in hits], "doc_id long, score double"
+    )
+    docs = eng.documents().select("doc_id", "conv_id")
+    return _engine_result(hit_df.join(docs, "doc_id").drop("doc_id"))
+
+
+def _q_ngram_jaccard(spark, sf):
+    from resin_spark import dedup
+
+    pairs = dedup.jaccard_pairs(_docs(spark, sf), k=3, threshold=0.6)
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+def _q_emb_neardup(spark, sf):
+    from resin_spark import similarity
+
+    return (
+        # testdata embeddings are near-orthogonal random vectors (max
+        # pairwise cosine ~0.51), so a production-style 0.9 threshold
+        # returns the empty set; 0.4 exercises the verify path with rows
+        similarity.cosine_neardup_pairs(_emb(spark, sf), threshold=0.4)
+        .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+        .orderBy("id_a", "id_b")
+    )
+
+
 def _q_minhash_pairs(spark, sf):
     from resin_spark import dedup
 
@@ -271,10 +370,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": _q_langid,
         "text_fingerprint": _q_fingerprint,
         "emb_cosine_topk": _q_emb_topk,
+        "ft_engine_topk": _q_engine_topk,
+        "ft_engine_and": _q_engine_and,
+        "ft_engine_not": _q_engine_not,
+        "ft_wand_topk": _q_wand_topk,
+        "dedup_ngram_jaccard": _q_ngram_jaccard,
         # rows-only (no SQL oracle): LSH pipelines use xxhash64/crc32
         "dedup_minhash_pairs": _q_minhash_pairs,
         "dedup_simhash_pairs": _q_simhash_pairs,
         "emb_ann_topk": _q_ann_topk,
+        "dedup_emb_neardup": _q_emb_neardup,
     }
 
 
@@ -399,6 +504,38 @@ ORDER BY n DESC, lang ASC
         "text_fingerprint": f"""
 SELECT doc_id, md5(array_to_string({TOKS}, ' ')) AS fp
 FROM documents ORDER BY doc_id LIMIT 50
+""",
+        "ft_engine_topk": _bm25_topk_sql("spark"),
+        "ft_engine_and": _bm25_and_sql("spark", "query"),
+        "ft_engine_not": _bm25_not_sql("spark", "window"),
+        "ft_wand_topk": (
+            SQL_PRELUDE
+            + """
+SELECT doc_id, round(sum(score), 6) AS score FROM scores
+WHERE term IN ('spark', 'table') GROUP BY doc_id
+ORDER BY round(sum(score), 6) DESC, doc_id ASC LIMIT 10
+"""
+        ),
+        "dedup_ngram_jaccard": f"""
+WITH t AS (SELECT doc_id, {TOKS} AS t FROM documents),
+sh AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+         i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS shs
+  FROM t
+),
+ex AS (SELECT doc_id, unnest(shs) AS sh FROM sh),
+sizes AS (SELECT doc_id, len(shs)::BIGINT AS n FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS ni
+  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(ni / (sa.n + sb.n - ni), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE ni / (sa.n + sb.n - ni) >= 0.6
+ORDER BY id_a, id_b
 """,
         "emb_cosine_topk": """
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
