@@ -1,0 +1,132 @@
+"""spark-submit entry point (north-rule packaging requirement).
+
+The reference ships a CLI dispatcher (`sir <command>`,
+/root/reference/src/Sir.Cmd/Program.cs:47-122) with index / query /
+optimize / truncate commands.  Spark-first equivalent:
+
+    python -m resin_spark.cli package
+        -> writes resin_spark.zip next to the repo for --py-files
+    spark-submit --py-files resin_spark.zip -m ... cli.py build \
+        --input /data/transcripts --root /data/index [--segments 8]
+    ... cli.py search --root /data/index --q '{"and": {"text": "banana"}}'
+    ... cli.py optimize --root /data/index        (segment compaction)
+    ... cli.py truncate --root /data/index
+    ... cli.py stream --input /data/incoming --root /data/index \
+        --checkpoint /data/ckpt                   (incremental refresh)
+
+When run via spark-submit the session comes from getOrCreate() so
+cluster/master/memory flags are spark-submit's; standalone it builds a
+local session.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _session(args):
+    from resin_spark.session import make_session
+
+    return make_session(args.master, "resin_spark_cli")
+
+
+def cmd_package(args) -> int:
+    from resin_spark.session import package_zip
+
+    print(package_zip())
+    return 0
+
+
+def cmd_build(args) -> int:
+    from resin_spark.build import build_index, resume_build
+
+    spark = _session(args)
+    t = spark.read.parquet(args.input)
+    fn = resume_build if args.resume else build_index
+    out = fn(spark, t, args.root, n_segments=args.segments)
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_search(args) -> int:
+    from resin_spark.executor import SearchEngine
+
+    spark = _session(args)
+    eng = SearchEngine(spark, args.root)
+    q = json.loads(args.q)
+    eng.search(q, k=args.k, skip=args.skip).show(args.k, truncate=60)
+    return 0
+
+
+def cmd_optimize(args) -> int:
+    from resin_spark.build import compact
+
+    compact(_session(args), args.root)
+    print("compacted")
+    return 0
+
+
+def cmd_truncate(args) -> int:
+    from resin_spark.api import truncate
+
+    truncate(_session(args), args.root)
+    print("truncated")
+    return 0
+
+
+def cmd_stream(args) -> int:
+    from resin_spark.streaming import stream_index
+
+    spark = _session(args)
+    q = stream_index(spark, args.input, args.root, args.checkpoint,
+                     trigger_once=not args.continuous)
+    q.awaitTermination()
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="resin_spark")
+    p.add_argument("--master", default="local[*]")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("package")
+
+    b = sub.add_parser("build")
+    b.add_argument("--input", required=True)
+    b.add_argument("--root", required=True)
+    b.add_argument("--segments", type=int, default=1)
+    b.add_argument("--resume", action="store_true")
+
+    s = sub.add_parser("search")
+    s.add_argument("--root", required=True)
+    s.add_argument("--q", required=True, help='JSON query, e.g. {"and": {"text": "banana"}}')
+    s.add_argument("--k", type=int, default=10)
+    s.add_argument("--skip", type=int, default=0)
+
+    o = sub.add_parser("optimize")
+    o.add_argument("--root", required=True)
+
+    t = sub.add_parser("truncate")
+    t.add_argument("--root", required=True)
+
+    st = sub.add_parser("stream")
+    st.add_argument("--input", required=True)
+    st.add_argument("--root", required=True)
+    st.add_argument("--checkpoint", required=True)
+    st.add_argument("--continuous", action="store_true")
+
+    args = p.parse_args(argv)
+    return {
+        "package": cmd_package,
+        "build": cmd_build,
+        "search": cmd_search,
+        "optimize": cmd_optimize,
+        "truncate": cmd_truncate,
+        "stream": cmd_stream,
+    }[args.cmd](args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,113 @@
+"""Incremental index refresh via Structured Streaming.
+
+The reference is batch append-only: new documents land as new index pages
+(segments) that queries merge on the fly, and `optimize` compacts them
+(/root/reference/src/Sir.Search/Session/WritableIndexStream.cs:37-54,
+SessionFactory.cs:112-190).  SURVEY.md §2.8 notes Structured Streaming's
+``foreachBatch`` is the idiomatic Spark driver for that refresh loop —
+this module implements it:
+
+    transcripts stream (file source / rate / kafka)
+      -> writeStream.foreachBatch(index_microbatch)
+           each micro-batch builds ONE index segment (build._build_segment
+           machinery: tf -> dl -> stats -> encoded posting blocks) and
+           appends it with a lineage receipt; queries see it on the next
+           postings read (segment dirs are just partitions).
+
+Semantics and scale:
+* segment id = micro-batch epoch offset by a base: append-only, no
+  rewrites of earlier segments; exactly-once comes from the streaming
+  checkpoint (a replayed batch overwrites its own segment dir —
+  idempotent by construction since the segment id is the batch id).
+* conv_dim growth: new conv_ids get slots ABOVE the current maximum
+  (append-only dimension).  Slots are assigned within the micro-batch by
+  the same distributed sort+zipWithIndex as the batch build — stable
+  as long as each conversation arrives within one micro-batch (the
+  transcript producer's natural unit).  Cross-batch turns of a known
+  conv_id reuse its existing slot via the anti-join.
+* compaction stays the batch job (api.compact) — run it out-of-band
+  when segment count grows, exactly like Resin's `optimize`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from resin_spark import build as B
+from resin_spark import ids
+
+
+def extend_conv_dim(spark: SparkSession, batch: DataFrame, root: str) -> DataFrame:
+    """Append-only conv_dim update: new conv_ids get slots above max.
+    Returns the full (old + new) dimension."""
+    new_convs = batch.select("conv_id").distinct()
+    try:
+        old = spark.read.parquet(B.p_conv_dim(root))
+    except Exception:
+        old = spark.createDataFrame([], schema=ids.CONV_DIM_SCHEMA)
+    base_row = old.agg(F.max("conv_slot").alias("m")).collect()[0]
+    base = (base_row["m"] + 1) if base_row["m"] is not None else 0
+    fresh = new_convs.join(old.select("conv_id"), "conv_id", "left_anti").sort(
+        "conv_id"
+    )
+    fresh_dim = spark.createDataFrame(
+        fresh.rdd.map(lambda r: r[0]).zipWithIndex().map(
+            lambda t: (t[0], t[1] + base)
+        ),
+        schema=ids.CONV_DIM_SCHEMA,
+    )
+    if fresh_dim.isEmpty():
+        return old
+    fresh_dim.write.mode("append").parquet(B.p_conv_dim(root))
+    return spark.read.parquet(B.p_conv_dim(root))
+
+
+def index_microbatch(root: str, fields: tuple[str, ...] = B.DEFAULT_FIELDS,
+                     segment_base: int = 1000):
+    """foreachBatch callback factory: each micro-batch becomes one index
+    segment (idempotent on replay: segment id = base + batch id)."""
+
+    def _fn(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        conv_dim = extend_conv_dim(spark, batch, root)
+        seg = segment_base + int(batch_id)
+        seg_df = batch.withColumn("segment", F.lit(seg))
+        B._build_segment(spark, seg_df, conv_dim, root, fields, seg)
+
+    return _fn
+
+
+def stream_index(
+    spark: SparkSession,
+    source_dir: str,
+    root: str,
+    checkpoint_dir: str,
+    schema: str = ("conv_id string, turn_idx int, role string, text string, "
+                   "tool string, ts timestamp"),
+    fields: tuple[str, ...] = B.DEFAULT_FIELDS,
+    trigger_once: bool = True,
+):
+    """File-source streaming index build: watch ``source_dir`` for new
+    transcript parquet files, index each micro-batch as a new segment.
+
+    ``trigger_once`` processes the backlog and stops (the batch-incremental
+    refresh pattern); set False for a continuous 30s-trigger stream."""
+    from resin_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    stream = (
+        spark.readStream.schema(schema).parquet(source_dir)
+    )
+    writer = (
+        stream.writeStream.foreachBatch(index_microbatch(root, fields))
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="30 seconds")
+    return writer.start()
