@@ -302,6 +302,16 @@ def _q_wand_topk(spark, sf):
     return _engine_result(hit_df.join(docs, "doc_id").drop("doc_id"))
 
 
+def _q_bm25_charbag(spark, sf):
+    """BM25 under Resin's char-bag term identity (anagrams collide; the
+    testdata vocabulary happens to have no anagram pairs, so this equals
+    surface BM25 here — the collision path is rank-tested in pytest with
+    listen/silent/enlist)."""
+    from resin_spark import docops
+
+    return docops.bm25_topk_charbag(_docs(spark, sf), "spark", k=10)
+
+
 def _q_ngram_jaccard(spark, sf):
     from resin_spark import dedup
 
@@ -374,6 +384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_engine_and": _q_engine_and,
         "ft_engine_not": _q_engine_not,
         "ft_wand_topk": _q_wand_topk,
+        "ft_bm25_charbag": _q_bm25_charbag,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         # rows-only (no SQL oracle): LSH pipelines use xxhash64/crc32
         "dedup_minhash_pairs": _q_minhash_pairs,
@@ -516,6 +527,34 @@ WHERE term IN ('spark', 'table') GROUP BY doc_id
 ORDER BY round(sum(score), 6) DESC, doc_id ASC LIMIT 10
 """
         ),
+        "ft_bm25_charbag": f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKS}) AS term FROM documents
+),
+ck AS (
+  SELECT doc_id,
+         array_to_string(list_sort(regexp_extract_all(term, '.')), '') AS k
+  FROM toks
+),
+tf AS (
+  SELECT doc_id, count(*)::BIGINT AS tf FROM ck
+  WHERE k = array_to_string(list_sort(regexp_extract_all('spark', '.')), '')
+  GROUP BY doc_id
+),
+dl AS (SELECT doc_id, len({TOKS})::BIGINT AS dl FROM documents),
+st AS (
+  SELECT count(*)::BIGINT AS n_docs,
+         sum(dl)::BIGINT / count(*)::BIGINT AS avgdl
+  FROM dl
+),
+nm AS (SELECT count(*)::BIGINT AS df FROM tf)
+SELECT tf.doc_id,
+       round(ln(1.0 + (st.n_docs - nm.df + 0.5) / (nm.df + 0.5))
+             * (tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))), 6)
+         AS score
+FROM tf JOIN dl USING (doc_id) CROSS JOIN st CROSS JOIN nm
+ORDER BY score DESC, tf.doc_id ASC LIMIT 10
+""",
         "dedup_ngram_jaccard": f"""
 WITH t AS (SELECT doc_id, {TOKS} AS t FROM documents),
 sh AS (

@@ -130,7 +130,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     engine = SearchEngine(spark, f"{tmp}/idx_hi")
     engine.stats()
-    engine.search({"or": {"text": "warmup"}}, k=10).collect()  # warm the read path
+    # warm with a REAL matching term: a nonexistent one short-circuits
+    # before the decode/score/fetch path and leaves it cold
+    engine.search({"or": {"text": "the"}}, k=10).collect()
     engine.clear_cache()
     q_lat: dict[str, float] = {}
     for name, q in QUERIES.items():

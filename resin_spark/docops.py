@@ -133,6 +133,40 @@ def bm25_not(docs: DataFrame, t1: str, t2: str, k: int = 10) -> DataFrame:
     )
 
 
+def bm25_topk_charbag(docs: DataFrame, token: str, k: int = 10) -> DataFrame:
+    """Single-term BM25 under Resin's char-bag term identity: the query
+    token matches every term with the same character multiset (anagrams
+    collide into one posting list, IdenticalAngle=0.998 on char-count
+    vectors — BagOfCharsModel.cs:9); tf sums over the collided terms,
+    df counts distinct docs of the merged list."""
+    from resin_spark.tokenizer import chars_key_py
+
+    key = chars_key_py(token)
+    toks = doc_tokens(docs).withColumn("ck", chars_key_col("term"))
+    tf = (
+        toks.filter(F.col("ck") == key)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dl = doc_lengths(docs)
+    st = corpus_stats(docs)
+    n_match = tf.count()
+    j = tf.join(dl, "doc_id").crossJoin(F.broadcast(st))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.lit(n_match) + F.lit(0.5)) / (F.lit(n_match) + F.lit(0.5))
+    )
+    wt = F.col("tf") / (
+        F.col("tf")
+        + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        j.select("doc_id", F.round(idf * wt, 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def chars_key_classes(docs: DataFrame, limit: int = 20) -> DataFrame:
     """Char-bag identity classes over the vocabulary: (chars_key, n_terms,
     terms) — Resin's anagram collision surface (T1/chars_key)."""

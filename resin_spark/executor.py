@@ -55,13 +55,28 @@ class SearchEngine:
         self.fields = fields
         self._stats: dict[str, dict] | None = None
         self._cached: list[DataFrame] = []
+        self._docs_df: DataFrame | None = None
+        self._postings_df: DataFrame | None = None
 
     # ------------------------------------------------------------ stores
     def documents(self) -> DataFrame:
-        return B.read_docs(self.spark, self.root)
+        # reuse the DataFrame across queries: its FileIndex caches the
+        # directory listing + parquet footers (re-listing per query costs
+        # more than the query itself on object stores)
+        if self._docs_df is None:
+            self._docs_df = B.read_docs(self.spark, self.root)
+        return self._docs_df
 
     def postings(self) -> DataFrame:
-        return B.read_postings(self.spark, self.root)
+        if self._postings_df is None:
+            self._postings_df = B.read_postings(self.spark, self.root)
+        return self._postings_df
+
+    def refresh(self) -> None:
+        """Drop cached listings/stats after new segments are appended."""
+        self._docs_df = None
+        self._postings_df = None
+        self._stats = None
 
     def doc_count(self) -> int:
         """S13 — GetDocCount (SessionFactory.cs:54-62)."""
@@ -191,15 +206,32 @@ class SearchEngine:
             decoded = decoded.groupBy("field", "term", "doc_id").agg(
                 F.sum("tf").alias("tf"), F.max("dl").alias("dl")
             )
-        scored_base = decoded.persist()
-        self._cached.append(scored_base)
+        n_terms_total = sum(len(toks) for toks in by_field.values())
+        if n_terms_total > 1:
+            # the boolean fold references the scored frame once per term —
+            # persist so blocks decode once.  Single-term queries stream
+            # straight through (no cache churn).
+            decoded = decoded.persist()
+            self._cached.append(decoded)
+        scored_base = decoded
 
-        # df per (field, term-key): distinct docs across segments/anagrams
-        df_rows = (
-            scored_base.groupBy("field", "term")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .collect()
-        )
+        # df per (field, term-key): distinct docs per term.  Surface mode
+        # reads it off the df_block METADATA (each doc lives in exactly
+        # one (segment, block), so Σ df_block = df) — no posting decode.
+        # Charbag mode must merge anagram postings first, so it counts on
+        # the decoded frame.
+        if term_identity == "surface":
+            df_rows = (
+                matched.groupBy("field", F.col(key_col).alias("term"))
+                .agg(F.sum("df_block").alias("df"))
+                .collect()
+            )
+        else:
+            df_rows = (
+                scored_base.groupBy("field", "term")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .collect()
+            )
         df_map = {(r["field"], r["term"]): r["df"] for r in df_rows}
         stats = self.stats()
 
