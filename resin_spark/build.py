@@ -55,6 +55,7 @@ POSTINGS_FIELDS = [
     StructField("term", StringType(), False),
     StructField("block_id", LongType(), False),
     StructField("df_block", LongType(), False),
+    StructField("sum_tf", LongType(), False),
     StructField("max_tf", LongType(), False),
     StructField("min_dl", LongType(), False),
     StructField("doc_ids_bin", BinaryType(), False),
@@ -158,6 +159,7 @@ def doc_lengths(docs: DataFrame, fields: tuple[str, ...]) -> DataFrame:
 _ENCODE_OUT = StructType(
     [
         StructField("df_block", LongType(), False),
+        StructField("sum_tf", LongType(), False),
         StructField("max_tf", LongType(), False),
         StructField("min_dl", LongType(), False),
         StructField("doc_ids_bin", BinaryType(), False),
@@ -187,7 +189,8 @@ def _encode_blocks(doc_ids: pd.Series, tfs: pd.Series,
     rows = len(doc_ids)
     if rows == 0:
         return pd.DataFrame(
-            {"df_block": np.zeros(0, np.int64), "max_tf": np.zeros(0, np.int64),
+            {"df_block": np.zeros(0, np.int64), "sum_tf": np.zeros(0, np.int64),
+             "max_tf": np.zeros(0, np.int64),
              "min_dl": np.zeros(0, np.int64), "doc_ids_bin": [],
              "tfs_bin": [], "dls_bin": []}
         )
@@ -217,8 +220,12 @@ def _encode_blocks(doc_ids: pd.Series, tfs: pd.Series,
     u_off = np.empty(rows + 1, np.int64)
     u_off[:-1] = np.searchsorted(starts, off[:-1])
     u_off[-1] = len(starts)
-    # per-row stats (each group has >= 1 posting, reduceat segments valid)
+    # per-row stats (each group has >= 1 posting, reduceat segments valid);
+    # sum_tf = total occurrences of the term in the block — summed over
+    # blocks it gives per-field total_tokens, so the stats table needs no
+    # separate tokenize pass
     dfb = np.diff(u_off)
+    stf = np.add.reduceat(TU, u_off[:-1])
     mtf = np.maximum.reduceat(TU, u_off[:-1])
     mdl = np.minimum.reduceat(LU, u_off[:-1])
     # delta-encode doc_ids with absolute value at each row start
@@ -230,6 +237,7 @@ def _encode_blocks(doc_ids: pd.Series, tfs: pd.Series,
     return pd.DataFrame(
         {
             "df_block": dfb,
+            "sum_tf": stf,
             "max_tf": mtf,
             "min_dl": mdl,
             "doc_ids_bin": varint_encode_segmented(
@@ -298,6 +306,7 @@ def postings_blocks(occurrences: DataFrame,
         "term",
         "block_id",
         F.col("enc.df_block").alias("df_block"),
+        F.col("enc.sum_tf").alias("sum_tf"),
         F.col("enc.max_tf").alias("max_tf"),
         F.col("enc.min_dl").alias("min_dl"),
         F.col("enc.doc_ids_bin").alias("doc_ids_bin"),
@@ -429,6 +438,7 @@ def build_index(
     resume: bool = False,
     out_partitions: int | None = None,
     cache_input: bool = False,
+    write_doclens: bool = False,
 ) -> dict:
     """Full index build.  Returns build stats (turns indexed, wall time).
 
@@ -471,7 +481,7 @@ def build_index(
             else transcripts.withColumn("segment", F.lit(0))
         )
         n = _build_segment(spark, seg_df, conv_dim, root, fields, seg,
-                           n_convs=n_convs)
+                           n_convs=n_convs, write_doclens=write_doclens)
         total_turns += n
     if cache_input:
         transcripts.unpersist()
@@ -488,6 +498,7 @@ def _build_segment(
     fields: tuple[str, ...],
     seg: int,
     n_convs: int | None = None,
+    write_doclens: bool = False,
 ) -> int:
     t0 = time.monotonic()
     docs = ids.with_doc_id(seg_df, conv_dim)
@@ -515,19 +526,13 @@ def _build_segment(
     docs = spark.read.parquet(f"{p_docs(root)}/segment={seg}")
     n_docs = docs.count()
 
-    # doclens + stats: narrow passes over the docs table (no shuffle
-    # beyond the tiny per-field stats agg)
-    dl = doc_lengths(docs, fields)
-    dl.write.mode("overwrite").parquet(f"{p_doclens(root)}/segment={seg}")
-    dl = spark.read.parquet(f"{p_doclens(root)}/segment={seg}")
-
-    stats = dl.groupBy("field").agg(
-        F.sum("dl").alias("total_tokens"),
-        F.count(F.lit(1)).alias("n_docs_with_field"),
-    ).withColumn("n_docs", F.lit(n_docs))
-    stats.coalesce(1).write.mode("overwrite").parquet(
-        f"{p_stats(root)}/segment={seg}"
-    )
+    # optional doclens artifact: a narrow tokenize pass over the docs
+    # table.  The query path never reads it (dl rides inside the posting
+    # blocks), so it is off by default — enabling it costs one extra full
+    # tokenize of the corpus.
+    if write_doclens:
+        dl = doc_lengths(docs, fields)
+        dl.write.mode("overwrite").parquet(f"{p_doclens(root)}/segment={seg}")
 
     # postings: tokenize -> ONE shuffle to (field, term, block) reducers;
     # tf/dl/stats derive inside the Arrow encoder (see postings_blocks)
@@ -535,6 +540,18 @@ def _build_segment(
     blocks = postings_blocks(occ)
     blocks.write.mode("overwrite").option("compression", "zstd").parquet(
         f"{p_postings(root)}/segment={seg}"
+    )
+
+    # stats from the block METADATA (column-pruned read of the tiny
+    # sum_tf/df_block columns): Σ sum_tf per field == Σ dl == total
+    # tokens — no separate tokenize pass
+    meta = spark.read.parquet(f"{p_postings(root)}/segment={seg}")
+    stats = meta.groupBy("field").agg(
+        F.sum("sum_tf").alias("total_tokens"),
+        F.sum("df_block").alias("n_postings"),
+    ).withColumn("n_docs", F.lit(n_docs))
+    stats.coalesce(1).write.mode("overwrite").parquet(
+        f"{p_stats(root)}/segment={seg}"
     )
 
     wall = time.monotonic() - t0
@@ -573,12 +590,14 @@ def compact(spark: SparkSession, root: str, fields=DEFAULT_FIELDS) -> None:
     _swap_dir(spark, tmp, p_postings(root))
 
     for sub in (p_doclens, p_stats, p_docs):
+        if sub is p_doclens and not _exists(spark, p_doclens(root)):
+            continue  # doclens is an opt-in artifact
         df = spark.read.option("basePath", sub(root)).parquet(f"{sub(root)}/segment=*")
         tmp2 = f"{sub(root)}__compact"
         if sub is p_stats:
             out = df.groupBy("field").agg(
                 F.sum("total_tokens").alias("total_tokens"),
-                F.sum("n_docs_with_field").alias("n_docs_with_field"),
+                F.sum("n_postings").alias("n_postings"),
                 F.sum("n_docs").alias("n_docs"),
             )
             out.coalesce(1).write.mode("overwrite").parquet(f"{tmp2}/segment=0")
@@ -619,6 +638,11 @@ def _hadoop_fs(spark):
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     return jvm.org.apache.hadoop.fs.FileSystem.get(conf), jvm
+
+
+def _exists(spark, path: str) -> bool:
+    fs, jvm = _hadoop_fs(spark)
+    return fs.exists(jvm.org.apache.hadoop.fs.Path(path))
 
 
 def _rm(spark, path: str) -> None:

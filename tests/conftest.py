@@ -50,7 +50,7 @@ def index_root(spark, transcripts, tmp_path_factory):
     from resin_spark.build import build_index
 
     root = str(tmp_path_factory.mktemp("idx") / "collection")
-    build_index(spark, transcripts, root)
+    build_index(spark, transcripts, root, write_doclens=True)
     yield root
     shutil.rmtree(root, ignore_errors=True)
 
