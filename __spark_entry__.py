@@ -246,23 +246,28 @@ def _engine(spark, sf):
             F.format_string("d%06d", F.col("doc_id")).alias("conv_id"),
             F.lit(0).alias("turn_idx"),
             F.col("text"),
+            F.col("lang"),
+            F.col("source"),
         )
-        api.build_index(spark, t, root, fields=("text",))
-        _ENGINE_CACHE[sf] = api.SearchEngine(spark, root, fields=("text",))
+        fields = ("text", "lang", "source")
+        api.build_index(spark, t, root, fields=fields)
+        _ENGINE_CACHE[sf] = api.SearchEngine(spark, root, fields=fields)
     return _ENGINE_CACHE[sf]
 
 
-def _engine_result(ranked: DataFrame, k: int = 10) -> DataFrame:
+def _engine_result(ranked: DataFrame, k: int = 10, skip: int = 0) -> DataFrame:
     """conv_id 'd%06d' -> original doc_id; re-rank by the ROUNDED score
     (+ doc_id tie-break) so the LIMIT boundary matches the oracle's."""
-    return (
+    out = (
         ranked.select(
             F.substring("conv_id", 2, 6).cast("long").alias("doc_id"),
             F.round("score", 6).alias("score"),
         )
         .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(k)
     )
+    if skip:
+        out = out.offset(skip)
+    return out.limit(k)
 
 
 def _q_engine_topk(spark, sf):
@@ -284,6 +289,24 @@ def _q_engine_not(spark, sf):
     eng = _engine(spark, sf)
     return _engine_result(
         eng.search({"and": {"text": "spark", "not": {"text": "window"}}},
+                   k=0, select=["conv_id", "turn_idx"])
+    )
+
+
+def _q_engine_paged(spark, sf):
+    eng = _engine(spark, sf)
+    return _engine_result(
+        eng.search({"or": {"text": "table"}}, k=0, select=["conv_id", "turn_idx"]),
+        k=10, skip=5,
+    )
+
+
+def _q_engine_multifield(spark, sf):
+    """Multi-field boolean merge (I8/X4): BM25 over the lang field ANDed
+    with BM25 over the text field, each scored with its own field stats."""
+    eng = _engine(spark, sf)
+    return _engine_result(
+        eng.search({"and": {"lang": "en", "and": {"text": "spark"}}},
                    k=0, select=["conv_id", "turn_idx"])
     )
 
@@ -383,6 +406,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_engine_topk": _q_engine_topk,
         "ft_engine_and": _q_engine_and,
         "ft_engine_not": _q_engine_not,
+        "ft_engine_paged": _q_engine_paged,
+        "ft_engine_multifield": _q_engine_multifield,
         "ft_wand_topk": _q_wand_topk,
         "ft_bm25_charbag": _q_bm25_charbag,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
@@ -519,6 +544,36 @@ FROM documents ORDER BY doc_id LIMIT 50
         "ft_engine_topk": _bm25_topk_sql("spark"),
         "ft_engine_and": _bm25_and_sql("spark", "query"),
         "ft_engine_not": _bm25_not_sql("spark", "window"),
+        "ft_engine_paged": (
+            SQL_PRELUDE
+            + "SELECT doc_id, round(score, 6) AS score FROM scores "
+            "WHERE term = 'table' "
+            "ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10 OFFSET 5"
+        ),
+        "ft_engine_multifield": SQL_PRELUDE + f"""
+, ltoks AS (
+  SELECT doc_id, unnest({TOKS.replace('text', 'lang')}) AS term FROM documents
+),
+ltf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM ltoks GROUP BY 1, 2),
+ldl AS (SELECT doc_id, len({TOKS.replace('text', 'lang')})::BIGINT AS dl
+        FROM documents),
+lst AS (
+  SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+         sum(dl)::BIGINT / (SELECT count(*) FROM documents)::BIGINT AS avgdl
+  FROM ldl
+),
+ldf AS (SELECT term, count(*)::BIGINT AS df FROM ltf GROUP BY 1),
+lscores AS (
+  SELECT ltf.term, ltf.doc_id,
+         ln(1.0 + (lst.n_docs - ldf.df + 0.5) / (ldf.df + 0.5))
+           * (ltf.tf / (ltf.tf + 1.2 * (0.25 + 0.75 * ldl.dl / lst.avgdl))) AS score
+  FROM ltf JOIN ldl USING (doc_id) JOIN ldf USING (term) CROSS JOIN lst
+)
+SELECT a.doc_id, round(a.score + b.score, 6) AS score
+FROM (SELECT doc_id, score FROM lscores WHERE term = 'en') a
+JOIN (SELECT doc_id, score FROM scores WHERE term = 'spark') b USING (doc_id)
+ORDER BY round(a.score + b.score, 6) DESC, a.doc_id ASC LIMIT 10
+""",
         "ft_wand_topk": (
             SQL_PRELUDE
             + """

@@ -38,6 +38,9 @@ def main():
     print(f"entry: rows={e.count()} schema={e.columns}")
 
     qs = entry_mod.queries()
+    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
     oracles = entry_mod.oracle_sql()
     failed = []
     for name, fn in qs.items():
