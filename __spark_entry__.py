@@ -238,19 +238,23 @@ def _engine(spark, sf):
     if sf not in _ENGINE_CACHE:
         import hashlib
 
-        from resin_spark import api
+        from resin_spark import api, build
 
-        tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+        # v2: fields text+lang+source, sum_tf block metadata
+        tag = hashlib.md5(f"{sf}|v2".encode()).hexdigest()[:8]
         root = f"/tmp/resin_entry_idx_{tag}/coll"
-        t = _docs(spark, sf).select(
-            F.format_string("d%06d", F.col("doc_id")).alias("conv_id"),
-            F.lit(0).alias("turn_idx"),
-            F.col("text"),
-            F.col("lang"),
-            F.col("source"),
-        )
         fields = ("text", "lang", "source")
-        api.build_index(spark, t, root, fields=fields)
+        # disk-persistent across processes: a completed segment-0 receipt
+        # means the index is already built for this sf_dir — reuse it
+        if build.completed_segments(spark, root) != {0}:
+            t = _docs(spark, sf).select(
+                F.format_string("d%06d", F.col("doc_id")).alias("conv_id"),
+                F.lit(0).alias("turn_idx"),
+                F.col("text"),
+                F.col("lang"),
+                F.col("source"),
+            )
+            api.build_index(spark, t, root, fields=fields)
         _ENGINE_CACHE[sf] = api.SearchEngine(spark, root, fields=fields)
     return _ENGINE_CACHE[sf]
 

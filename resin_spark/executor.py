@@ -237,17 +237,21 @@ class SearchEngine:
 
         # one scoring expression; idf/avgdl folded in as literals with the
         # same float64 op tree as the oracle (reference.py weight())
+        # fields that were never indexed have no stats row and can match
+        # no postings — they contribute nothing to the score expression
+        empty = {"n_docs": 0, "avgdl": 1.0}
         idf_expr = F.lit(0.0)
         for (f, tkey), dfv in df_map.items():
             idf_expr = F.when(
                 (F.col("field") == f) & (F.col("term") == tkey),
-                F.lit(self.idf(stats[f]["n_docs"], dfv)),
+                F.lit(self.idf(stats.get(f, empty)["n_docs"], dfv)),
             ).otherwise(idf_expr)
-        avgdl_expr = F.lit(0.0)
+        avgdl_expr = F.lit(1.0)
         for f in by_field:
-            avgdl_expr = F.when(
-                F.col("field") == f, F.lit(stats[f]["avgdl"])
-            ).otherwise(avgdl_expr)
+            if f in stats:
+                avgdl_expr = F.when(
+                    F.col("field") == f, F.lit(stats[f]["avgdl"])
+                ).otherwise(avgdl_expr)
         tf_d = F.col("tf").cast("double")
         dl_d = F.col("dl").cast("double")
         denom = tf_d + F.lit(K1) * (F.lit(1.0 - BB) + F.lit(BB) * dl_d / avgdl_expr)
