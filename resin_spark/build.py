@@ -348,6 +348,33 @@ def decoded_postings(postings: DataFrame) -> DataFrame:
     )
 
 
+def extend_conv_dim(spark: SparkSession, batch: DataFrame, root: str) -> DataFrame:
+    """Append-only conv_dim update: conv_ids not yet in the dimension get
+    slots ABOVE the current maximum (existing slots are immutable — doc
+    IDs already packed from them must stay valid).  Returns the full
+    (old + new) dimension.  Used by resumed builds and streaming appends."""
+    new_convs = batch.select("conv_id").distinct()
+    try:
+        old = spark.read.parquet(p_conv_dim(root))
+    except Exception:
+        old = spark.createDataFrame([], schema=ids.CONV_DIM_SCHEMA)
+    base_row = old.agg(F.max("conv_slot").alias("m")).collect()[0]
+    base = (base_row["m"] + 1) if base_row["m"] is not None else 0
+    fresh = new_convs.join(old.select("conv_id"), "conv_id", "left_anti").sort(
+        "conv_id"
+    )
+    fresh_dim = spark.createDataFrame(
+        fresh.rdd.map(lambda r: r[0]).zipWithIndex().map(
+            lambda t: (t[0], t[1] + base)
+        ),
+        schema=ids.CONV_DIM_SCHEMA,
+    )
+    if fresh_dim.isEmpty():
+        return old
+    fresh_dim.write.mode("append").parquet(p_conv_dim(root))
+    return spark.read.parquet(p_conv_dim(root))
+
+
 # ---------------------------------------------------------------- lineage
 LINEAGE_SCHEMA = "segment int, step string, status string, n_rows long, wall_sec double"
 METRICS_SCHEMA = "segment int, phase string, metric string, value double"
@@ -460,12 +487,20 @@ def build_index(
     # for non-columnar/expensive sources.
     if cache_input:
         transcripts = transcripts.persist()
-    # persist the dimension rather than round-tripping through parquet:
-    # the zipWithIndex plan would otherwise recompute (2 jobs) on every
-    # downstream use; the parquet copy is still written for streaming
-    # appends / external readers
-    conv_dim = ids.build_conv_dim(transcripts).persist()
-    conv_dim.write.mode("overwrite").parquet(p_conv_dim(root))
+    if resume and _exists(spark, p_conv_dim(root)):
+        # a resume must NOT rebuild the dimension: segments already
+        # committed hold doc_ids packed from the EXISTING slots, and a
+        # rebuild would re-rank conv_ids that arrived since (one
+        # conversation in two doc_id spaces = silent corruption).
+        # Extend append-only instead — same rule as streaming appends.
+        conv_dim = extend_conv_dim(spark, transcripts, root).persist()
+    else:
+        # persist the dimension rather than round-tripping through
+        # parquet: the zipWithIndex plan would otherwise recompute
+        # (2 jobs) on every downstream use; the parquet copy is still
+        # written for resume / streaming appends / external readers
+        conv_dim = ids.build_conv_dim(transcripts).persist()
+        conv_dim.write.mode("overwrite").parquet(p_conv_dim(root))
     n_convs = conv_dim.count()
 
     done = completed_segments(spark, root) if resume else set()
@@ -518,7 +553,10 @@ def _build_segment(
     else:
         docs = docs.repartitionByRange(n_parts, "doc_id")
     (
-        docs.drop("conv_slot")
+        # drop the data-side segment column too: the partition directory
+        # (segment=<seg>) already carries it, and a duplicate data column
+        # shadows the partition column on read
+        docs.drop("conv_slot", "segment")
         .sortWithinPartitions("doc_id")
         .write.mode("overwrite")
         .parquet(f"{p_docs(root)}/segment={seg}")
@@ -653,8 +691,18 @@ def _rm(spark, path: str) -> None:
 
 
 def _swap_dir(spark, src: str, dst: str) -> None:
+    """Rename-aside swap: the previous contents move to ``dst__old``
+    before ``src`` takes their place, so a crash between the two renames
+    leaves a recoverable copy (plain delete-then-rename would destroy
+    the live directory on a mid-swap failure)."""
     fs, jvm = _hadoop_fs(spark)
     Path = jvm.org.apache.hadoop.fs.Path
-    if fs.exists(Path(dst)):
-        fs.delete(Path(dst), True)
+    old = f"{dst}__old"
+    if fs.exists(Path(old)):
+        fs.delete(Path(old), True)
+    had_dst = fs.exists(Path(dst))
+    if had_dst:
+        fs.rename(Path(dst), Path(old))
     fs.rename(Path(src), Path(dst))
+    if had_dst:
+        fs.delete(Path(old), True)

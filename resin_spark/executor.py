@@ -79,8 +79,16 @@ class SearchEngine:
         self._stats = None
 
     def doc_count(self) -> int:
-        """S13 — GetDocCount (SessionFactory.cs:54-62)."""
-        return self.stats()[self.fields[0]]["n_docs"]
+        """S13 — GetDocCount (SessionFactory.cs:54-62).  Every stats row
+        carries the same segment-total n_docs; fall back to a docs count
+        if no field produced postings at all."""
+        st = self.stats()
+        for f in self.fields:
+            if f in st:
+                return st[f]["n_docs"]
+        if st:
+            return next(iter(st.values()))["n_docs"]
+        return self.documents().count()
 
     def scan(self, skip: int = 0, take: int = 0,
              select: list[str] | None = None) -> DataFrame:
@@ -152,7 +160,10 @@ class SearchEngine:
 
         sel = select or q.select
         docs = self.documents()
-        out = docs.join(F.broadcast(ranked), "doc_id")
+        # broadcast only when k bounds the ranked side; k=0 ("all", e.g.
+        # save_as CTAS) can be corpus-sized — let Spark pick the strategy
+        right = F.broadcast(ranked) if k else ranked
+        out = docs.join(right, "doc_id")
         cols = ["conv_id", "turn_idx"]
         if sel:
             cols += [c for c in sel if c not in ("conv_id", "turn_idx")]
@@ -175,6 +186,10 @@ class SearchEngine:
 
     def _ranked(self, q: Query, term_identity: str) -> DataFrame:
         """(doc_id, score) after the boolean fold."""
+        # evict the previous query's persisted postings: a long-lived
+        # engine must not accumulate one cached RDD per query (a caller
+        # still holding an old result DataFrame just recomputes it)
+        self.clear_cache()
         key_col = self._key_col(term_identity)
         terms = query_terms(q)
         if not terms:
@@ -332,11 +347,13 @@ class SearchEngine:
                 query_state = self._merge(query_state, term_df, t.op)
         if matched_any:
             state = self._merge(state, query_state[0], q.op)
-        elif q.terms and q.op == "and" and state[0] is not None:
-            # empty fresh dict merged under AND: the sub-query had terms
-            # but none matched, so queryResult stays empty and the AND
-            # merge of an empty dict clears a non-empty result
-            # (Reducer.cs:24-39)
+        elif q.op == "and" and state[0] is not None:
+            # the clause's fresh dict stayed empty (terms all unmatched,
+            # values that tokenized to nothing, or a pure nesting
+            # container) — Resin merges that empty dict under the clause
+            # op regardless, and an AND-merge of an empty dict CLEARS a
+            # non-empty result (Reducer.cs:24-39).  OR/NOT merges of an
+            # empty dict are no-ops.  Mirrors reference.py exactly.
             state = (state[0].limit(0), False)
         if q.and_q is not None:
             state = self._reduce_query(q.and_q, state, scored, df_map, term_identity)

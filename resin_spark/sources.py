@@ -32,15 +32,20 @@ def read_json_docs(
     like zstd-parquet preferred at 100 TB — gzip is not splittable)."""
     df = spark.read.json(path)
     cols = [c for c in store_fields if c in df.columns]
-    out = df.select(*cols)
+    if not cols:
+        raise ValueError(
+            f"none of store_fields {store_fields} exist in {path} "
+            f"(columns: {df.columns})"
+        )
     if skip or take:
-        order = id_field or cols[0]
-        out = out.orderBy(order)
+        # order BEFORE projecting so id_field need not be a stored field
+        order = id_field if id_field and id_field in df.columns else cols[0]
+        df = df.orderBy(order)
         if skip:
-            out = out.offset(skip)
+            df = df.offset(skip)
         if take:
-            out = out.limit(take)
-    return out
+            df = df.limit(take)
+    return df.select(*cols)
 
 
 def read_text_docs(spark: SparkSession, path: str) -> DataFrame:

@@ -35,32 +35,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from resin_spark import build as B
-from resin_spark import ids
 
 
-def extend_conv_dim(spark: SparkSession, batch: DataFrame, root: str) -> DataFrame:
-    """Append-only conv_dim update: new conv_ids get slots above max.
-    Returns the full (old + new) dimension."""
-    new_convs = batch.select("conv_id").distinct()
-    try:
-        old = spark.read.parquet(B.p_conv_dim(root))
-    except Exception:
-        old = spark.createDataFrame([], schema=ids.CONV_DIM_SCHEMA)
-    base_row = old.agg(F.max("conv_slot").alias("m")).collect()[0]
-    base = (base_row["m"] + 1) if base_row["m"] is not None else 0
-    fresh = new_convs.join(old.select("conv_id"), "conv_id", "left_anti").sort(
-        "conv_id"
-    )
-    fresh_dim = spark.createDataFrame(
-        fresh.rdd.map(lambda r: r[0]).zipWithIndex().map(
-            lambda t: (t[0], t[1] + base)
-        ),
-        schema=ids.CONV_DIM_SCHEMA,
-    )
-    if fresh_dim.isEmpty():
-        return old
-    fresh_dim.write.mode("append").parquet(B.p_conv_dim(root))
-    return spark.read.parquet(B.p_conv_dim(root))
+# re-exported for backwards compatibility; implementation lives next to
+# the build pipeline it must stay consistent with
+extend_conv_dim = B.extend_conv_dim
 
 
 def index_microbatch(root: str, fields: tuple[str, ...] = B.DEFAULT_FIELDS,

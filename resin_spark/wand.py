@@ -87,6 +87,11 @@ def wand_topk(
     df_map = {r["term"]: r["df"] for r in df_rows}
     if not df_map or n_docs == 0:
         return [], {"blocks_total": 0, "blocks_scored": 0}
+    if mode == "and" and any(not df_map.get(t) for t in set(tokens)):
+        # conjunctive semantics: a query term absent from the index means
+        # NO document can match all terms — dropping the term instead
+        # would return false positives
+        return [], {"blocks_total": 0, "blocks_scored": 0}
 
     idf_expr = F.lit(0.0)
     for t, dfv in df_map.items():
@@ -124,9 +129,12 @@ def wand_topk(
     p1_rows = p1.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
     theta = p1_rows[k - 1]["score"] if len(p1_rows) >= k else float("-inf")
 
-    # phase 2: only blocks whose bound beats θ (block-max pruning)
+    # phase 2: blocks whose bound can still affect the top-k.  >= not >:
+    # a doc scoring EXACTLY θ in a pruned block could win the doc_id
+    # tie-break against the current kth — strict > would drop it and
+    # break exact parity with the exhaustive scorer
     survivors = block_ub.filter(
-        (F.col("ub") > F.lit(theta)) & ~F.col("block_id").isin(top_blocks)
+        (F.col("ub") >= F.lit(theta)) & ~F.col("block_id").isin(top_blocks)
     )
     blocks_scored = len(top_blocks) + survivors.count()
     p2 = _score_blocks(

@@ -61,3 +61,26 @@ def test_resume_is_idempotent_when_complete(spark, transcripts, tmp_path_factory
     out = resume_build(spark, transcripts, root, n_segments=2)
     assert out["turns"] == 0  # nothing rebuilt
     assert _postings_snapshot(spark, root) == snap
+
+
+def test_resume_preserves_conv_slots_with_new_convs(spark, tmp_path_factory):
+    """A resume whose input gained conversations must NOT re-rank the
+    dimension: committed segments hold doc_ids packed from the existing
+    slots.  New conv_ids extend append-only above the current maximum."""
+    from resin_spark.fixtures import transcripts_df
+
+    t_all = transcripts_df(spark, n_convs=12, max_turns=3)
+    first = t_all.filter(F.col("conv_id") < "conv00000008")
+    root = str(tmp_path_factory.mktemp("idx_grow") / "c")
+    build_index(spark, first, root, n_segments=2)
+    before = {r["conv_id"]: r["conv_slot"]
+              for r in spark.read.parquet(B.p_conv_dim(root)).collect()}
+
+    out = resume_build(spark, t_all, root, n_segments=2)
+    assert out["turns"] == 0  # receipts say both segments are complete
+    after = {r["conv_id"]: r["conv_slot"]
+             for r in spark.read.parquet(B.p_conv_dim(root)).collect()}
+    # old slots untouched, new convs strictly above the old maximum
+    assert all(after[c] == s for c, s in before.items())
+    new = {c: s for c, s in after.items() if c not in before}
+    assert new and min(new.values()) > max(before.values())

@@ -31,6 +31,16 @@ QUERIES = (
                                  "not": {"text": "banana"}}}, {}),
         ("x_missing_and", {"and": {"text": "apple zzznope"}}, {}),
         ("x_take0", {"and": {"text": "blueberries"}}, {"k": 0}),
+        # AND sub-clause whose value tokenizes to NOTHING: Resin merges
+        # the empty fresh dict under AND, clearing the result (both
+        # engines must return [])
+        ("x_empty_tokens_and", {"and": {"text": "apple", "and": {"text": "???"}}}, {}),
+        # pure nesting container under AND: same clearing rule applies
+        ("x_container_and", {"or": {"text": "apple",
+                                    "and": {"or": {"text": "banana"}}}}, {}),
+        # sub-clause with only unmatched terms under AND also clears
+        ("x_unmatched_subclause", {"and": {"text": "apple",
+                                           "and": {"text": "zzznope"}}}, {}),
     ]
 )
 
