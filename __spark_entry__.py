@@ -219,9 +219,14 @@ def _q_emb_topk(spark, sf):
 
     emb = _emb(spark, sf)
     q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    out = similarity.cosine_topk(emb, [float(x) for x in q], k=10)
-    return out.select("vec_id", F.round("cosine", 4).alias("cosine")).orderBy(
-        F.desc("cosine"), F.asc("vec_id")
+    # margin then round-and-re-rank (see _q_wand_topk): the testdata has
+    # 4-dp cosine collisions near the k-boundary, and the oracle limits
+    # on the rounded value
+    out = similarity.cosine_topk(emb, [float(x) for x in q], k=100)
+    return (
+        out.select("vec_id", F.round("cosine", 4).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
     )
 
 
@@ -240,15 +245,16 @@ def _engine(spark, sf):
 
         from resin_spark import api, build
 
-        # v2: fields text+lang+source, sum_tf block metadata
-        tag = hashlib.md5(f"{sf}|v2".encode()).hexdigest()[:8]
+        # v3: 18-digit conv_id padding (lexicographic == numeric for any
+        # int64 doc_id), per-field stats rows
+        tag = hashlib.md5(f"{sf}|v3".encode()).hexdigest()[:8]
         root = f"/tmp/resin_entry_idx_{tag}/coll"
         fields = ("text", "lang", "source")
         # disk-persistent across processes: a completed segment-0 receipt
         # means the index is already built for this sf_dir — reuse it
         if build.completed_segments(spark, root) != {0}:
             t = _docs(spark, sf).select(
-                F.format_string("d%06d", F.col("doc_id")).alias("conv_id"),
+                F.format_string("d%018d", F.col("doc_id")).alias("conv_id"),
                 F.lit(0).alias("turn_idx"),
                 F.col("text"),
                 F.col("lang"),
@@ -260,11 +266,11 @@ def _engine(spark, sf):
 
 
 def _engine_result(ranked: DataFrame, k: int = 10, skip: int = 0) -> DataFrame:
-    """conv_id 'd%06d' -> original doc_id; re-rank by the ROUNDED score
+    """conv_id 'd%018d' -> original doc_id; re-rank by the ROUNDED score
     (+ doc_id tie-break) so the LIMIT boundary matches the oracle's."""
     out = (
         ranked.select(
-            F.substring("conv_id", 2, 6).cast("long").alias("doc_id"),
+            F.substring("conv_id", 2, 18).cast("long").alias("doc_id"),
             F.round("score", 6).alias("score"),
         )
         .orderBy(F.desc("score"), F.asc("doc_id"))
@@ -321,7 +327,10 @@ def _q_wand_topk(spark, sf):
     from resin_spark import wand
 
     eng = _engine(spark, sf)
-    hits, _ = wand.wand_topk(spark, eng.root, ["spark", "table"], k=10, mode="or")
+    # fetch a wide margin, then round-and-re-rank: the oracle's LIMIT is
+    # on the ROUNDED score, and raw-score truncation at exactly k could
+    # drop a doc that wins the rounded tie-break
+    hits, _ = wand.wand_topk(spark, eng.root, ["spark", "table"], k=100, mode="or")
     hit_df = spark.createDataFrame(
         [(int(d), float(s)) for d, s in hits], "doc_id long, score double"
     )

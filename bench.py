@@ -117,7 +117,14 @@ def main() -> None:
     tmp = tempfile.mkdtemp(prefix="resin_bench_")
     b_1 = _build_once(1, n_convs, max_turns, f"{tmp}/idx_1")
     b_4 = _build_once(4, n_convs, max_turns, f"{tmp}/idx_4")
-    b_hi = _build_once(hi, n_convs, max_turns, f"{tmp}/idx_hi")
+    if hi == 1:
+        b_hi = b_1
+        os.rename(f"{tmp}/idx_1", f"{tmp}/idx_hi")
+    elif hi == 4:
+        b_hi = b_4
+        os.rename(f"{tmp}/idx_4", f"{tmp}/idx_hi")
+    else:
+        b_hi = _build_once(hi, n_convs, max_turns, f"{tmp}/idx_hi")
     eff = b_4["turns_per_sec"] / (4.0 * b_1["turns_per_sec"])
     ctl_cpu = _control_efficiency(CPU_CODE)
     ctl_mem = _control_efficiency(MEM_CODE)

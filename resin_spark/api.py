@@ -48,10 +48,17 @@ def save_as(
     """X11 SaveAs: run a query, write results as a new indexed collection
     (SaveAsJob.Execute, /root/reference/src/Sir.HttpServer/Features/
     SaveAsJob.cs:53-95)."""
-    result = engine.search(query, k=k).drop("score")
+    out_fields = fields or engine.fields
+    # select every column the rebuild will tokenize or store — search()'s
+    # default projection only covers the transcript-shaped columns
+    doc_cols = engine.documents().columns
+    sel = [c for c in dict.fromkeys(
+        ["conv_id", "turn_idx", *out_fields, "role", "text", "tool", "ts"]
+    ) if c in doc_cols]
+    result = engine.search(query, k=k, select=sel).drop("score")
     return build_index(
         engine.spark,
         result,
         new_root,
-        fields=fields or engine.fields,
+        fields=out_fields,
     )

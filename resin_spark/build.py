@@ -6,13 +6,14 @@ with a declarative aggregation Catalyst can optimize end-to-end:
 
     transcripts
       -> doc_id assign (ids.py; join conv_dim)                    [narrow]
-      -> tokenize (JVM regex split, whole-stage codegen)          [narrow]
-      -> tf:  groupBy(field, doc_id, term).count()                [shuffle 1]
-      -> dl:  tf.groupBy(field, doc_id).sum(tf)   (reuses part.)  [narrow-ish]
+      -> tokenize + per-doc dl (JVM regex split, codegen)         [narrow]
       -> postings: groupBy(field, term, block_id)
-             .agg(sorted postings block)                          [shuffle 2]
-      -> Arrow UDF: delta+varint encode blocks (postings.py)      [narrow]
+             .agg(collect occurrences)                            [ONE shuffle]
+      -> Arrow UDF: merge dups -> tf, block stats, delta+varint
+         encode (postings.py)                                     [narrow]
       -> write Parquet (zstd), sorted by (field, term)            [sink]
+    doclens (opt-in) and stats need no extra shuffle: dl is an array
+    size computed narrow, and stats fall out of the block metadata.
 
 Skew (hot terms) is handled *structurally*: the aggregation key includes
 ``block_id`` (a range of conv_slots), so a term occurring in 30% of 10^12
@@ -41,8 +42,7 @@ from pyspark.sql.types import (ArrayType, BinaryType, IntegerType, LongType,
                                StringType, StructField, StructType)
 
 from resin_spark import ids
-from resin_spark.postings import (decode_counts, decode_doc_ids,
-                                  encode_counts, encode_doc_ids)
+from resin_spark.postings import decode_counts, decode_doc_ids
 from resin_spark.tokenizer import chars_key_col, tokens_col
 
 DEFAULT_FIELDS = ("text", "role", "tool")
@@ -127,15 +127,6 @@ def tokenized(docs: DataFrame, fields: tuple[str, ...]) -> DataFrame:
         # string column) — cheaper than building struct arrays per row
         out = out.unionByName(p)
     return out
-
-
-def term_frequencies(tokens: DataFrame) -> DataFrame:
-    """(field, doc_id, term, tf) — partial (map-side) + final hash agg.
-    Not on the build hot path (tf is derived inside the posting-block
-    encoder); kept for compaction input shaping and diagnostics."""
-    return tokens.groupBy("field", "doc_id", "term").agg(
-        F.count(F.lit(1)).alias("tf")
-    )
 
 
 def doc_lengths(docs: DataFrame, fields: tuple[str, ...]) -> DataFrame:
@@ -582,12 +573,24 @@ def _build_segment(
 
     # stats from the block METADATA (column-pruned read of the tiny
     # sum_tf/df_block columns): Σ sum_tf per field == Σ dl == total
-    # tokens — no separate tokenize pass
+    # tokens — no separate tokenize pass.  Every REQUESTED field gets a
+    # row (zeros when the segment held no tokens for it): n_docs must
+    # aggregate over ALL segments per field, or idf/avgdl would be
+    # computed against an undercounted corpus in multi-segment builds.
     meta = spark.read.parquet(f"{p_postings(root)}/segment={seg}")
-    stats = meta.groupBy("field").agg(
-        F.sum("sum_tf").alias("total_tokens"),
-        F.sum("df_block").alias("n_postings"),
-    ).withColumn("n_docs", F.lit(n_docs))
+    fields_df = spark.createDataFrame([(f,) for f in fields], "field string")
+    stats = (
+        fields_df.join(
+            meta.groupBy("field").agg(
+                F.sum("sum_tf").alias("total_tokens"),
+                F.sum("df_block").alias("n_postings"),
+            ),
+            "field",
+            "left",
+        )
+        .fillna(0, subset=["total_tokens", "n_postings"])
+        .withColumn("n_docs", F.lit(n_docs))
+    )
     stats.coalesce(1).write.mode("overwrite").parquet(
         f"{p_stats(root)}/segment={seg}"
     )

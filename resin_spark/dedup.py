@@ -247,7 +247,9 @@ def simhash_py(text: str) -> int:
     for b in range(64):
         if acc[b] > 0:
             out |= 1 << b
-    return out
+    # two's-complement int64, matching the Spark column's LongType (bit 63
+    # set => negative) so the twins compare equal directly
+    return out - (1 << 64) if out >= (1 << 63) else out
 
 
 def simhash_candidates(df: DataFrame, key: str = "doc_id", text: str = "text",

@@ -285,19 +285,23 @@ class SearchEngine:
         ).select("doc_id", "score")
 
     def _merge(self, state: tuple[DataFrame | None, bool], incoming: DataFrame,
-               op: str) -> tuple[DataFrame | None, bool]:
+               op: str, incoming_nonempty: bool = False) -> tuple[DataFrame | None, bool]:
         """Reducer.cs:86-149 as DataFrame joins.  ``None`` or empty result
         behaves like Resin's empty dict (insert-all for and/or).
 
         The bool in ``state`` is known_nonempty: emptiness only needs a
         runtime probe (isEmpty, a limit-1 job) after an intersection may
         have emptied the result — insert-all and OR/NOT merges preserve
-        non-emptiness, so single-term / pure-OR queries run probe-free."""
+        non-emptiness, so single-term / pure-OR queries run probe-free.
+        ``incoming_nonempty`` carries the same knowledge for the incoming
+        frame: a matched TERM frame is non-empty by construction, but a
+        sub-clause result may itself be an emptied intersection — marking
+        it non-empty unseen would poison later insert-all decisions."""
         result, known_nonempty = state
         if result is None or (not known_nonempty and result.isEmpty()):
             if op == "not":
                 return result, False
-            return incoming, True
+            return incoming, incoming_nonempty
         r = result.alias("r")
         t = incoming.alias("t")
         on = F.col("r.doc_id") == F.col("t.doc_id")
@@ -344,9 +348,12 @@ class SearchEngine:
                         True,
                     )
             else:
-                query_state = self._merge(query_state, term_df, t.op)
+                # a matched term's frame is non-empty by construction
+                query_state = self._merge(query_state, term_df, t.op,
+                                          incoming_nonempty=True)
         if matched_any:
-            state = self._merge(state, query_state[0], q.op)
+            state = self._merge(state, query_state[0], q.op,
+                                incoming_nonempty=query_state[1])
         elif q.op == "and" and state[0] is not None:
             # the clause's fresh dict stayed empty (terms all unmatched,
             # values that tokenized to nothing, or a pure nesting

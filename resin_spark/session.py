@@ -19,15 +19,23 @@ from pyspark.sql import SparkSession
 _SHIPPED_ATTR = "_resin_spark_shipped"
 
 
+_PKG_ZIP: str | None = None
+
+
 def package_zip() -> str:
     """Create (once per process) a zip of the resin_spark package."""
+    global _PKG_ZIP
+    if _PKG_ZIP is not None and os.path.exists(_PKG_ZIP):
+        return _PKG_ZIP
     import resin_spark
 
     pkg_dir = os.path.dirname(os.path.abspath(resin_spark.__file__))
     parent = os.path.dirname(pkg_dir)
     out_dir = tempfile.mkdtemp(prefix="resin_spark_pkg_")
     base = os.path.join(out_dir, "resin_spark")
-    return shutil.make_archive(base, "zip", root_dir=parent, base_dir="resin_spark")
+    _PKG_ZIP = shutil.make_archive(base, "zip", root_dir=parent,
+                                   base_dir="resin_spark")
+    return _PKG_ZIP
 
 
 def ensure_package_shipped(spark: SparkSession) -> None:

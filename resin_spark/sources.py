@@ -38,9 +38,11 @@ def read_json_docs(
             f"(columns: {df.columns})"
         )
     if skip or take:
-        # order BEFORE projecting so id_field need not be a stored field
+        # order BEFORE projecting so id_field need not be a stored field;
+        # include all stored columns as tie-breaks — paging on a
+        # non-unique key alone would make skip/take nondeterministic
         order = id_field if id_field and id_field in df.columns else cols[0]
-        df = df.orderBy(order)
+        df = df.orderBy(order, *[c for c in cols if c != order])
         if skip:
             df = df.offset(skip)
         if take:

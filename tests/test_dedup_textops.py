@@ -83,15 +83,12 @@ def test_simhash_parity_and_candidates(spark, docs):
     texts = {r["doc_id"]: r["text"] for r in docs.collect()}
     rows = docs.select("doc_id", dedup.simhash_col("text").alias("sh")).collect()
     for r in rows:
-        assert r["sh"] == _to_signed64(dedup.simhash_py(texts[r["doc_id"]])), r["doc_id"]
+        # simhash_py emits two's-complement int64, matching Spark directly
+        assert r["sh"] == dedup.simhash_py(texts[r["doc_id"]]), r["doc_id"]
     pairs = {(r["id_a"], r["id_b"]): r["hamming"]
              for r in dedup.simhash_candidates(docs, max_hamming=8).collect()}
     assert pairs.get((0, 1)) == 0 and pairs.get((0, 8)) == 0
     assert (0, 3) not in pairs
-
-
-def _to_signed64(v: int) -> int:
-    return v - (1 << 64) if v >= (1 << 63) else v
 
 
 def test_token_counts(spark, docs):

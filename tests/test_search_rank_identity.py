@@ -41,6 +41,13 @@ QUERIES = (
         # sub-clause with only unmatched terms under AND also clears
         ("x_unmatched_subclause", {"and": {"text": "apple",
                                            "and": {"text": "zzznope"}}}, {}),
+        # a clause that intersects to EMPTY (uterm0/uterm1 are planted in
+        # distinct single turns) must behave like Resin's empty dict for
+        # the NEXT merge: insert-all, not inner-join-against-empty
+        ("x_emptied_then_and", {"and": {"text": "uterm0 uterm1",
+                                        "and": {"text": "banana"}}}, {}),
+        ("x_emptied_then_or", {"and": {"text": "uterm0 uterm1",
+                                       "or": {"text": "apple"}}}, {}),
     ]
 )
 
