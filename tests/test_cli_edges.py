@@ -72,3 +72,42 @@ def test_skip_beyond_results(engine):
 
 def test_fetch_missing_doc(engine):
     assert engine.fetch("conv_does_not_exist", 0).count() == 0
+
+
+def test_build_empty_corpus(spark, tmp_path):
+    """A zero-row input builds an empty-but-valid index: stats rows
+    exist, searches return nothing, no exceptions."""
+    from resin_spark.build import build_index, read_stats
+    from resin_spark.fixtures import TRANSCRIPT_SCHEMA
+
+    empty = spark.createDataFrame([], schema=TRANSCRIPT_SCHEMA)
+    root = str(tmp_path / "empty_idx")
+    out = build_index(spark, empty, root, fields=("text",))
+    assert out["turns"] == 0
+    st = {r["field"]: r for r in read_stats(spark, root).collect()}
+    assert st["text"]["n_docs"] == 0 and st["text"]["total_tokens"] == 0
+    eng = SearchEngine(spark, root, fields=("text",))
+    assert eng.topk({"or": {"text": "banana"}}, k=5) == []
+    assert eng.doc_count() == 0
+
+
+def test_build_null_and_empty_text(spark, tmp_path):
+    """Rows with NULL/empty/whitespace text index cleanly (dl=0, no
+    postings) and still exist in the docs table."""
+    from resin_spark.build import build_index
+
+    rows = [
+        ("c1", 0, "user", None, "", None),
+        ("c1", 1, "assistant", "", "", None),
+        ("c2", 0, "user", "   \t  ", "", None),
+        ("c2", 1, "tool", "banana split", "calc", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    root = str(tmp_path / "null_idx")
+    build_index(spark, df, root, fields=("text",))
+    eng = SearchEngine(spark, root, fields=("text",))
+    assert eng.doc_count() == 4  # all rows stored
+    hits = eng.topk({"or": {"text": "banana"}}, k=5)
+    assert [h[0] for h in hits] == [("c2", 1)]
