@@ -43,7 +43,7 @@ from pyspark.sql.types import (ArrayType, BinaryType, IntegerType, LongType,
 
 from resin_spark import ids
 from resin_spark.postings import decode_counts, decode_doc_ids
-from resin_spark.tokenizer import chars_key_col, tokens_col
+from resin_spark.tokenizer import tokens_col
 
 DEFAULT_FIELDS = ("text", "role", "tool")
 # block = conv_slot >> CONV_BLOCK_BITS — 4096 conversations per block
@@ -67,6 +67,26 @@ POSTINGS_SCHEMA = StructType(POSTINGS_FIELDS)
 POSTINGS_WITH_SEG = StructType(
     POSTINGS_FIELDS + [StructField("segment", IntegerType(), False)]
 )
+
+
+class _arrow_batch_rows:
+    """Temporarily raise spark.sql.execution.arrow.maxRecordsPerBatch for
+    the duration of a build action: the session default (512) suits the
+    query-time decode UDF whose rows carry KB-size binary cells, but the
+    merge-encoder streams SMALL occurrence rows and wants big batches
+    (fewer carry hand-offs, less per-batch Python overhead)."""
+
+    KEY = "spark.sql.execution.arrow.maxRecordsPerBatch"
+
+    def __init__(self, spark: SparkSession, n: int = 131072):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        self.old = self.spark.conf.get(self.KEY)
+        self.spark.conf.set(self.KEY, str(self.n))
+
+    def __exit__(self, *exc):
+        self.spark.conf.set(self.KEY, self.old)
 
 
 # ---------------------------------------------------------------- paths
@@ -147,86 +167,54 @@ def doc_lengths(docs: DataFrame, fields: tuple[str, ...]) -> DataFrame:
     return out.filter(F.col("dl") > 0)
 
 
-_ENCODE_OUT = StructType(
-    [
-        StructField("df_block", LongType(), False),
-        StructField("sum_tf", LongType(), False),
-        StructField("max_tf", LongType(), False),
-        StructField("min_dl", LongType(), False),
-        StructField("doc_ids_bin", BinaryType(), False),
-        StructField("tfs_bin", BinaryType(), False),
-        StructField("dls_bin", BinaryType(), False),
-    ]
-)
+def _encode_sorted_arrays(fa, ta, ba, D, T, L) -> pd.DataFrame:
+    """Encode a run of occurrence rows sorted by (field, term, block_id,
+    doc_id) into one output row per (field, term, block) group.
 
-
-def _encode_blocks(doc_ids: pd.Series, tfs: pd.Series,
-                   dls: pd.Series) -> pd.DataFrame:
-    """Arrow-batched block encoder over three parallel primitive arrays
-    (one cell = one (field, term, block) group of OCCURRENCES, unsorted,
-    possibly with repeated doc_ids).  Semantics per group: sort by doc_id,
-    merge duplicates (tf = sum of per-occurrence tf — the build path
-    feeds tf=1 per occurrence so this IS the term frequency; compaction
-    feeds pre-counted tf), then delta+varint encode; block stats
-    (df_block / max_tf / min_dl) fall out of the same pass.
-
-    Implementation is FLAT-BATCH vectorized: all rows of the Arrow batch
-    are concatenated once and every transformation (dedup, tf reduceat,
-    delta, varint) runs as a single numpy pipeline over the flat array
-    with row boundaries carried as offsets — per-row Python work is one
-    argsort, nothing else.  ~7x faster than a per-row numpy pipeline."""
+    Fully flat-vectorized: group boundaries come from key change-points,
+    duplicate doc_ids merge via reduceat (tf = Σ per-occurrence tf — the
+    build feeds tf=1 per occurrence so this IS the term frequency;
+    compaction feeds pre-counted tf), block stats and the delta+varint
+    codec all run as single numpy passes with group offsets.  The input
+    being pre-sorted (shuffle sort) means no per-group argsort at all."""
     from resin_spark.postings import varint_encode_segmented
 
-    rows = len(doc_ids)
-    if rows == 0:
-        return pd.DataFrame(
-            {"df_block": np.zeros(0, np.int64), "sum_tf": np.zeros(0, np.int64),
-             "max_tf": np.zeros(0, np.int64),
-             "min_dl": np.zeros(0, np.int64), "doc_ids_bin": [],
-             "tfs_bin": [], "dls_bin": []}
-        )
-    d_list = [np.asarray(x, dtype=np.int64) for x in doc_ids]
-    lens = np.fromiter((len(a) for a in d_list), np.int64, rows)
-    off = np.zeros(rows + 1, np.int64)
-    np.cumsum(lens, out=off[1:])
-    D = np.concatenate(d_list)
-    T = np.concatenate([np.asarray(x, dtype=np.int64) for x in tfs])
-    L = np.concatenate([np.asarray(x, dtype=np.int64) for x in dls])
-    # per-row sort by doc_id (dup doc_ids share identical dl, so order
-    # among duplicates is immaterial)
-    order = np.concatenate(
-        [o + np.argsort(a) for o, a in zip(off[:-1], d_list)]
-    )
-    D, T, L = D[order], T[order], L[order]
-    # first-occurrence mask (row starts always open a run)
-    is_first = np.empty(len(D), dtype=bool)
-    is_first[0] = True
-    is_first[1:] = D[1:] != D[:-1]
-    is_first[off[:-1]] = True
-    starts = np.nonzero(is_first)[0]
+    n = len(D)
+    # group change-points over the (already grouped-contiguous) keys
+    gs = np.empty(n, dtype=bool)
+    gs[0] = True
+    gs[1:] = (fa[1:] != fa[:-1]) | (ta[1:] != ta[:-1]) | (ba[1:] != ba[:-1])
+    off = np.append(np.flatnonzero(gs), n).astype(np.int64)
+    n_groups = len(off) - 1
+    # first-occurrence mask for doc_id dedup (group starts open a run)
+    isf = np.empty(n, dtype=bool)
+    isf[0] = True
+    isf[1:] = D[1:] != D[:-1]
+    isf[off[:-1]] = True
+    starts = np.flatnonzero(isf)
     DU = D[starts]
     TU = np.add.reduceat(T, starts)
     LU = L[starts]
-    # row boundaries in deduped space
-    u_off = np.empty(rows + 1, np.int64)
+    u_off = np.empty(n_groups + 1, np.int64)
     u_off[:-1] = np.searchsorted(starts, off[:-1])
     u_off[-1] = len(starts)
-    # per-row stats (each group has >= 1 posting, reduceat segments valid);
-    # sum_tf = total occurrences of the term in the block — summed over
-    # blocks it gives per-field total_tokens, so the stats table needs no
-    # separate tokenize pass
+    # per-group stats; sum_tf summed per field gives total_tokens, so the
+    # stats table needs no separate tokenize pass
     dfb = np.diff(u_off)
     stf = np.add.reduceat(TU, u_off[:-1])
     mtf = np.maximum.reduceat(TU, u_off[:-1])
     mdl = np.minimum.reduceat(LU, u_off[:-1])
-    # delta-encode doc_ids with absolute value at each row start
+    # delta-encode doc_ids with the absolute value at each group start
     deltas = np.empty_like(DU)
-    if len(DU):
-        deltas[0] = DU[0]
-        np.subtract(DU[1:], DU[:-1], out=deltas[1:])
-        deltas[u_off[:-1]] = DU[u_off[:-1]]
+    deltas[0] = DU[0]
+    np.subtract(DU[1:], DU[:-1], out=deltas[1:])
+    deltas[u_off[:-1]] = DU[u_off[:-1]]
+    g_terms = ta[off[:-1]]
     return pd.DataFrame(
         {
+            "field": fa[off[:-1]],
+            "term": g_terms,
+            "block_id": ba[off[:-1]].astype(np.int64),
             "df_block": dfb,
             "sum_tf": stf,
             "max_tf": mtf,
@@ -235,11 +223,50 @@ def _encode_blocks(doc_ids: pd.Series, tfs: pd.Series,
                 deltas.astype(np.uint64), u_off),
             "tfs_bin": varint_encode_segmented(TU.astype(np.uint64), u_off),
             "dls_bin": varint_encode_segmented(LU.astype(np.uint64), u_off),
+            # canonical char-bag key (== tokenizer.chars_key_py)
+            "chars_key": ["".join(sorted(t)) for t in g_terms],
         }
     )
 
 
-encode_blocks_udf = F.pandas_udf(_encode_blocks, returnType=_ENCODE_OUT)
+def _encode_sorted_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    return _encode_sorted_arrays(
+        pdf["field"].to_numpy(),
+        pdf["term"].to_numpy(),
+        pdf["block_id"].to_numpy(),
+        pdf["doc_id"].to_numpy(dtype=np.int64),
+        pdf["tf"].to_numpy(dtype=np.int64),
+        pdf["dl"].to_numpy(dtype=np.int64),
+    )
+
+
+def _merge_encode_iter(batches):
+    """mapInPandas worker over a partition sorted by (field, term,
+    block_id, doc_id): stream Arrow batches, hold back the trailing
+    (possibly batch-spanning) group as carry, emit encoded blocks per
+    batch.  Peak memory per task = one Arrow batch + one group — never
+    the partition, never an aggregation hash map.  This is the
+    spill-safe scale path: all heavy reordering happened in the shuffle
+    sorter (UnsafeExternalSorter, disk-backed)."""
+    carry: pd.DataFrame | None = None
+    for pdf in batches:
+        if carry is not None:
+            pdf = pd.concat([carry, pdf], ignore_index=True)
+            carry = None
+        n = len(pdf)
+        if n == 0:
+            continue
+        fa = pdf["field"].to_numpy()
+        ta = pdf["term"].to_numpy()
+        ba = pdf["block_id"].to_numpy()
+        trailing = (fa == fa[-1]) & (ta == ta[-1]) & (ba == ba[-1])
+        nz = np.flatnonzero(~trailing)
+        cut = int(nz[-1]) + 1 if len(nz) else 0
+        carry = pdf.iloc[cut:].reset_index(drop=True)
+        if cut:
+            yield _encode_sorted_pdf(pdf.iloc[:cut])
+    if carry is not None and len(carry):
+        yield _encode_sorted_pdf(carry)
 
 def _decode_blocks(rows: pd.DataFrame) -> pd.DataFrame:
     out_docs, out_tfs, out_dls = [], [], []
@@ -272,43 +299,31 @@ def postings_blocks(occurrences: DataFrame,
 
     occurrences: (field, doc_id, term, tf, dl) — the build path feeds raw
     token occurrences (tf=1 each); compaction feeds pre-merged postings
-    (tf = real counts).  The group key includes block_id so hot terms fan
-    out across reducers (structural skew handling); per-(doc, term)
-    merging happens vectorized inside the Arrow encoder, not in a
-    separate Spark aggregation."""
+    (tf = real counts).
+
+    This is the north rule's repartition-and-sort-within-partitions merge:
+    occurrences hash-shuffle on the FULL (field, term, block_id) key (hot
+    terms fan out across reducers — structural skew handling), the shuffle
+    sorter orders each partition by (key, doc_id) with disk-backed spilling
+    (UnsafeExternalSorter), and a streaming mapInPandas encoder emits one
+    block row per group with one Arrow batch in memory at a time.  No JVM
+    aggregation buffers exist anywhere, so there is no unspillable
+    collect_list hash map to blow up on huge segments — peak task memory
+    is bounded by the Arrow batch size regardless of input size.  Output
+    rows come out (field, term)-sorted per file, so Parquet min/max stats
+    prune query-time term lookups."""
+    spark = occurrences.sparkSession
+    n_parts = out_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    keys = ["field", "term", "block_id"]
     with_block = occurrences.withColumn(
         "block_id", F.shiftright(F.col("doc_id"), BLOCK_SHIFT)
+    ).select("field", "term", "block_id", "doc_id", "tf", "dl")
+    parted = with_block.repartition(n_parts, *keys).sortWithinPartitions(
+        *keys, "doc_id"
     )
-    grouped = with_block.groupBy("field", "term", "block_id").agg(
-        F.collect_list(F.struct("doc_id", "tf", "dl")).alias("plist"),
-    )
-    # split the struct list into parallel primitive arrays JVM-side: Arrow
-    # then transfers numpy-ready buffers instead of per-element dicts
-    grouped = grouped.select(
-        "field", "term", "block_id",
-        F.col("plist.doc_id").alias("p_docs"),
-        F.col("plist.tf").alias("p_tfs"),
-        F.col("plist.dl").alias("p_dls"),
-    )
-    enc = grouped.withColumn(
-        "enc", encode_blocks_udf("p_docs", "p_tfs", "p_dls")
-    ).select(
-        "field",
-        "term",
-        "block_id",
-        F.col("enc.df_block").alias("df_block"),
-        F.col("enc.sum_tf").alias("sum_tf"),
-        F.col("enc.max_tf").alias("max_tf"),
-        F.col("enc.min_dl").alias("min_dl"),
-        F.col("enc.doc_ids_bin").alias("doc_ids_bin"),
-        F.col("enc.tfs_bin").alias("tfs_bin"),
-        F.col("enc.dls_bin").alias("dls_bin"),
-        chars_key_col("term").alias("chars_key"),
-    )
-    if out_partitions:
-        enc = enc.repartition(out_partitions, "field", "term")
-    # sorted by term within files => Parquet min/max stats prune term lookups
-    return enc.sortWithinPartitions("field", "term", "block_id")
+    return parted.mapInPandas(_merge_encode_iter, schema=POSTINGS_SCHEMA)
 
 
 def decoded_postings(postings: DataFrame) -> DataFrame:
@@ -564,12 +579,13 @@ def _build_segment(
         dl.write.mode("overwrite").parquet(f"{p_doclens(root)}/segment={seg}")
 
     # postings: tokenize -> ONE shuffle to (field, term, block) reducers;
-    # tf/dl/stats derive inside the Arrow encoder (see postings_blocks)
+    # tf/dl/stats derive inside the streaming merge-encoder
     occ = tokenized(docs, fields).withColumn("tf", F.lit(1).cast("long"))
     blocks = postings_blocks(occ)
-    blocks.write.mode("overwrite").option("compression", "zstd").parquet(
-        f"{p_postings(root)}/segment={seg}"
-    )
+    with _arrow_batch_rows(spark):
+        blocks.write.mode("overwrite").option("compression", "zstd").parquet(
+            f"{p_postings(root)}/segment={seg}"
+        )
 
     # stats from the block METADATA (column-pruned read of the tiny
     # sum_tf/df_block columns): Σ sum_tf per field == Σ dl == total
@@ -625,9 +641,13 @@ def compact(spark: SparkSession, root: str, fields=DEFAULT_FIELDS) -> None:
     dec = decoded_postings(post).drop("segment")
     blocks = postings_blocks(dec)
     tmp = f"{p_postings(root)}__compact"
-    blocks.write.mode("overwrite").option("compression", "zstd").parquet(
-        f"{tmp}/segment=0"
-    )
+    # moderate batch size: this action streams BLOCK rows (KB-size binary
+    # cells) through the decode UDF and occurrence rows through the
+    # merge-encoder under the same conf — 8192 bounds both
+    with _arrow_batch_rows(spark, 8192):
+        blocks.write.mode("overwrite").option("compression", "zstd").parquet(
+            f"{tmp}/segment=0"
+        )
     _swap_dir(spark, tmp, p_postings(root))
 
     for sub in (p_doclens, p_stats, p_docs):

@@ -66,6 +66,22 @@ def test_tokenizer_twins_agree(text):
     assert py == list(pdres)
 
 
+def _enc(doc_ids, tfs, dls, term="t"):
+    """Run the sorted-run encoder on one synthetic (field, term, block)
+    group (rows must be doc_id-sorted, as the shuffle sorter guarantees)."""
+    from resin_spark.build import _encode_sorted_arrays
+
+    n = len(doc_ids)
+    return _encode_sorted_arrays(
+        np.array(["text"] * n, dtype=object),
+        np.array([term] * n, dtype=object),
+        np.zeros(n, dtype=np.int64),
+        np.asarray(doc_ids, dtype=np.int64),
+        np.asarray(tfs, dtype=np.int64),
+        np.asarray(dls, dtype=np.int64),
+    )
+
+
 @given(st.lists(st.integers(min_value=0, max_value=1 << 40),
                 min_size=1, max_size=120),
        st.integers(min_value=1, max_value=5))
@@ -73,20 +89,49 @@ def test_tokenizer_twins_agree(text):
 def test_encode_blocks_merges_duplicates(doc_ids, tf_each):
     """The block encoder's dedup+tf semantics: feeding each doc k times
     with tf=1 equals feeding it once with tf=k."""
-    from resin_spark.build import _encode_blocks
-
-    d = np.array(doc_ids, dtype=np.int64)
+    d = np.sort(np.array(doc_ids, dtype=np.int64))
     dl = np.abs(d) % 97 + 1
-    rep = pd.Series([np.repeat(d, tf_each)])
-    rep_tf = pd.Series([np.ones(len(d) * tf_each, dtype=np.int64)])
-    rep_dl = pd.Series([np.repeat(dl, tf_each)])
-    once = pd.Series([d])
-    once_tf = pd.Series([np.full(len(d), tf_each, dtype=np.int64)])
-    once_dl = pd.Series([dl])
-    a = _encode_blocks(rep, rep_tf, rep_dl)
-    b = _encode_blocks(once, once_tf, once_dl)
+    a = _enc(np.repeat(d, tf_each), np.ones(len(d) * tf_each, dtype=np.int64),
+             np.repeat(dl, tf_each))
+    b = _enc(d, np.full(len(d), tf_each, dtype=np.int64), dl)
     assert a["doc_ids_bin"][0] == b["doc_ids_bin"][0]
     assert a["tfs_bin"][0] == b["tfs_bin"][0]
     assert a["dls_bin"][0] == b["dls_bin"][0]
     assert a["df_block"][0] == b["df_block"][0]
     assert a["max_tf"][0] == b["max_tf"][0]
+    assert a["sum_tf"][0] == b["sum_tf"][0]
+
+
+@given(st.lists(st.tuples(st.integers(0, 500), st.integers(1, 9),
+                          st.integers(1, 60)),
+                min_size=1, max_size=150))
+@settings(max_examples=100, deadline=None)
+def test_encode_decode_roundtrip_matches_dict(rows):
+    """Encoder vs a dict-based reference: decoded postings equal a plain
+    per-doc tf-sum / first-dl merge of the sorted occurrence rows."""
+    from resin_spark.postings import (decode_counts, decode_doc_ids)
+
+    rows = sorted((d, tf, dl) for d, tf, dl in rows)
+    # dl must be consistent per doc (it is per (doc, field) in real data)
+    dl_of = {}
+    norm = []
+    for d, tf, dl in rows:
+        dl_of.setdefault(d, dl)
+        norm.append((d, tf, dl_of[d]))
+    out = _enc([r[0] for r in norm], [r[1] for r in norm], [r[2] for r in norm])
+    want: dict[int, list] = {}
+    for d, tf, dl in norm:
+        if d in want:
+            want[d][0] += tf
+        else:
+            want[d] = [tf, dl]
+    got_docs = decode_doc_ids(out["doc_ids_bin"][0]).tolist()
+    got_tfs = decode_counts(out["tfs_bin"][0]).tolist()
+    got_dls = decode_counts(out["dls_bin"][0]).tolist()
+    assert got_docs == sorted(want)
+    assert got_tfs == [want[d][0] for d in got_docs]
+    assert got_dls == [want[d][1] for d in got_docs]
+    assert out["df_block"][0] == len(want)
+    assert out["sum_tf"][0] == sum(v[0] for v in want.values())
+    assert out["max_tf"][0] == max(v[0] for v in want.values())
+    assert out["min_dl"][0] == min(v[1] for v in want.values())
