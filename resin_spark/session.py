@@ -69,13 +69,11 @@ def make_session(
         # posting-block rows carry large array cells; small Arrow batches
         # bound per-task buffer memory in the codec UDFs
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
-        # collect_list aggregations (posting-block build) run in
-        # ObjectHashAggregate, which falls back to SORT-based aggregation
-        # after 128 distinct keys per task — that external sort spills and
-        # serializes the hot build stage.  Our group payloads are bounded
-        # (block-partitioned posting lists), so keep hashing.
-        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-                "100000000")
+        # NOTE: the index build deliberately contains NO ObjectHashAggregate
+        # (posting merge = repartition-and-sort + streaming mapInPandas), so
+        # the sort-based fallback threshold stays at its safe default — the
+        # remaining collect_list users (dedup groups, char-bag classes) keep
+        # their spill path for high-cardinality keys.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
     )
