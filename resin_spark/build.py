@@ -7,13 +7,15 @@ with a declarative aggregation Catalyst can optimize end-to-end:
     transcripts
       -> doc_id assign (ids.py; join conv_dim)                    [narrow]
       -> tokenize + per-doc dl (JVM regex split, codegen)         [narrow]
-      -> postings: groupBy(field, term, block_id)
-             .agg(collect occurrences)                            [ONE shuffle]
-      -> Arrow UDF: merge dups -> tf, block stats, delta+varint
-         encode (postings.py)                                     [narrow]
+      -> repartition(field, term, block_id)
+         + sortWithinPartitions(key, doc_id)                      [ONE shuffle,
+                                                         disk-backed sort]
+      -> streaming mapInPandas: merge dups -> tf, block stats,
+         delta+varint encode (one Arrow batch in memory)          [narrow]
       -> write Parquet (zstd), sorted by (field, term)            [sink]
     doclens (opt-in) and stats need no extra shuffle: dl is an array
     size computed narrow, and stats fall out of the block metadata.
+    No JVM aggregation buffers exist anywhere in the build.
 
 Skew (hot terms) is handled *structurally*: the aggregation key includes
 ``block_id`` (a range of conv_slots), so a term occurring in 30% of 10^12
@@ -38,12 +40,12 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (ArrayType, BinaryType, IntegerType, LongType,
+from pyspark.sql.types import (ArrayType, BinaryType, LongType,
                                StringType, StructField, StructType)
 
 from resin_spark import ids
 from resin_spark.postings import decode_counts, decode_doc_ids
-from resin_spark.tokenizer import tokens_col
+from resin_spark.tokenizer import chars_key_py, tokens_col
 
 DEFAULT_FIELDS = ("text", "role", "tool")
 # block = conv_slot >> CONV_BLOCK_BITS — 4096 conversations per block
@@ -64,9 +66,6 @@ POSTINGS_FIELDS = [
     StructField("chars_key", StringType(), False),
 ]
 POSTINGS_SCHEMA = StructType(POSTINGS_FIELDS)
-POSTINGS_WITH_SEG = StructType(
-    POSTINGS_FIELDS + [StructField("segment", IntegerType(), False)]
-)
 
 
 class _arrow_batch_rows:
@@ -77,6 +76,11 @@ class _arrow_batch_rows:
     (fewer carry hand-offs, less per-batch Python overhead)."""
 
     KEY = "spark.sql.execution.arrow.maxRecordsPerBatch"
+
+    # CAVEAT: runtime SQL confs are session-global — a query submitted on
+    # the SAME session while a build/compact action is in flight will also
+    # decode its posting blocks at the larger batch size.  Run maintenance
+    # jobs on their own session when serving concurrent search traffic.
 
     def __init__(self, spark: SparkSession, n: int = 131072):
         self.spark, self.n = spark, n
@@ -223,8 +227,9 @@ def _encode_sorted_arrays(fa, ta, ba, D, T, L) -> pd.DataFrame:
                 deltas.astype(np.uint64), u_off),
             "tfs_bin": varint_encode_segmented(TU.astype(np.uint64), u_off),
             "dls_bin": varint_encode_segmented(LU.astype(np.uint64), u_off),
-            # canonical char-bag key (== tokenizer.chars_key_py)
-            "chars_key": ["".join(sorted(t)) for t in g_terms],
+            # ONE definition of the char-bag key, shared with the query
+            # side (executor matches on chars_key_py of the query token)
+            "chars_key": [chars_key_py(t) for t in g_terms],
         }
     )
 
@@ -244,29 +249,59 @@ def _merge_encode_iter(batches):
     """mapInPandas worker over a partition sorted by (field, term,
     block_id, doc_id): stream Arrow batches, hold back the trailing
     (possibly batch-spanning) group as carry, emit encoded blocks per
-    batch.  Peak memory per task = one Arrow batch + one group — never
-    the partition, never an aggregation hash map.  This is the
-    spill-safe scale path: all heavy reordering happened in the shuffle
-    sorter (UnsafeExternalSorter, disk-backed)."""
-    carry: pd.DataFrame | None = None
+    batch.  Peak memory per task = one Arrow batch + one GROUP (a group
+    is bounded by block capacity) — never the partition, never an
+    aggregation hash map.  This is the spill-safe scale path: all heavy
+    reordering happened in the shuffle sorter (disk-backed spilling).
+
+    The carry is a LIST of chunks concatenated only once at flush, and
+    every scan touches only the current batch — a group spanning k
+    batches costs O(total rows), not O(k * group)."""
+    carry_chunks: list[pd.DataFrame] = []
+    carry_key: tuple | None = None
+
+    def flush():
+        nonlocal carry_chunks, carry_key
+        out = _encode_sorted_pdf(
+            carry_chunks[0] if len(carry_chunks) == 1
+            else pd.concat(carry_chunks, ignore_index=True)
+        )
+        carry_chunks, carry_key = [], None
+        return out
+
     for pdf in batches:
-        if carry is not None:
-            pdf = pd.concat([carry, pdf], ignore_index=True)
-            carry = None
         n = len(pdf)
         if n == 0:
             continue
         fa = pdf["field"].to_numpy()
         ta = pdf["term"].to_numpy()
         ba = pdf["block_id"].to_numpy()
+        first_key = (fa[0], ta[0], ba[0])
+        last_key = (fa[-1], ta[-1], ba[-1])
+        if carry_key is not None and carry_key != first_key:
+            yield flush()
+        if first_key == last_key:
+            # whole batch is one group: extend the carry, nothing to emit
+            carry_chunks.append(pdf)
+            carry_key = first_key
+            continue
+        # end of the batch's first group / start of its trailing group
+        first_mask = (fa == fa[0]) & (ta == ta[0]) & (ba == ba[0])
+        head_end = int(np.flatnonzero(~first_mask)[0])
         trailing = (fa == fa[-1]) & (ta == ta[-1]) & (ba == ba[-1])
-        nz = np.flatnonzero(~trailing)
-        cut = int(nz[-1]) + 1 if len(nz) else 0
-        carry = pdf.iloc[cut:].reset_index(drop=True)
-        if cut:
-            yield _encode_sorted_pdf(pdf.iloc[:cut])
-    if carry is not None and len(carry):
-        yield _encode_sorted_pdf(carry)
+        cut = int(np.flatnonzero(~trailing)[-1]) + 1
+        if carry_key is not None:  # == first_key: group completes here
+            carry_chunks.append(pdf.iloc[:head_end])
+            yield flush()
+            body = pdf.iloc[head_end:cut]
+        else:
+            body = pdf.iloc[:cut]
+        if len(body):
+            yield _encode_sorted_pdf(body)
+        carry_chunks = [pdf.iloc[cut:]]
+        carry_key = last_key
+    if carry_chunks:
+        yield flush()
 
 def _decode_blocks(rows: pd.DataFrame) -> pd.DataFrame:
     out_docs, out_tfs, out_dls = [], [], []
@@ -374,10 +409,13 @@ def extend_conv_dim(spark: SparkSession, batch: DataFrame, root: str) -> DataFra
             lambda t: (t[0], t[1] + base)
         ),
         schema=ids.CONV_DIM_SCHEMA,
-    )
-    if fresh_dim.isEmpty():
-        return old
-    fresh_dim.write.mode("append").parquet(p_conv_dim(root))
+    ).persist()  # isEmpty + write must see ONE slot assignment, computed once
+    try:
+        if fresh_dim.isEmpty():
+            return old
+        fresh_dim.write.mode("append").parquet(p_conv_dim(root))
+    finally:
+        fresh_dim.unpersist()
     return spark.read.parquet(p_conv_dim(root))
 
 
@@ -413,15 +451,31 @@ def _append_metrics(spark: SparkSession, root: str, rows: list[tuple]) -> None:
 
 
 def _driver_parquet_append(dir_path: str, columns: dict, schema) -> None:
+    """Receipt write.  Local paths take the fast pyarrow path (no Spark
+    job); non-local URIs (hdfs://, s3a://, ...) go through a one-row
+    Spark write so the receipt lands on the SAME filesystem the resume
+    anti-join reads — a driver-local receipt on a cluster would make
+    completed_segments() blind."""
     import os
+    import re
     import uuid
 
+    if re.match(r"^[a-z0-9+.-]+://", dir_path) and not dir_path.startswith("file://"):
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        rows = list(zip(*columns.values()))
+        spark.createDataFrame(rows, schema=list(columns.keys())).coalesce(
+            1
+        ).write.mode("append").parquet(dir_path)
+        return
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    os.makedirs(dir_path, exist_ok=True)
+    local = dir_path[len("file://"):] if dir_path.startswith("file://") else dir_path
+    os.makedirs(local, exist_ok=True)
     table = pa.table(columns, schema=schema)
-    pq.write_table(table, f"{dir_path}/part-{uuid.uuid4().hex}.parquet")
+    pq.write_table(table, f"{local}/part-{uuid.uuid4().hex}.parquet")
 
 
 def _arrow_schemas():
@@ -522,7 +576,8 @@ def build_index(
             else transcripts.withColumn("segment", F.lit(0))
         )
         n = _build_segment(spark, seg_df, conv_dim, root, fields, seg,
-                           n_convs=n_convs, write_doclens=write_doclens)
+                           n_convs=n_convs, write_doclens=write_doclens,
+                           out_partitions=out_partitions)
         total_turns += n
     if cache_input:
         transcripts.unpersist()
@@ -540,6 +595,7 @@ def _build_segment(
     seg: int,
     n_convs: int | None = None,
     write_doclens: bool = False,
+    out_partitions: int | None = None,
 ) -> int:
     t0 = time.monotonic()
     docs = ids.with_doc_id(seg_df, conv_dim)
@@ -581,7 +637,7 @@ def _build_segment(
     # postings: tokenize -> ONE shuffle to (field, term, block) reducers;
     # tf/dl/stats derive inside the streaming merge-encoder
     occ = tokenized(docs, fields).withColumn("tf", F.lit(1).cast("long"))
-    blocks = postings_blocks(occ)
+    blocks = postings_blocks(occ, out_partitions=out_partitions)
     with _arrow_batch_rows(spark):
         blocks.write.mode("overwrite").option("compression", "zstd").parquet(
             f"{p_postings(root)}/segment={seg}"
@@ -631,7 +687,7 @@ def resume_build(spark, transcripts, root, **kw) -> dict:
     return build_index(spark, transcripts, root, resume=True, overwrite=False, **kw)
 
 
-def compact(spark: SparkSession, root: str, fields=DEFAULT_FIELDS) -> None:
+def compact(spark: SparkSession, root: str) -> None:
     """Resin `optimize` (I12): merge all segments into segment 0.
 
     Decodes all blocks, re-groups by (field, term, block_id) across
@@ -641,10 +697,12 @@ def compact(spark: SparkSession, root: str, fields=DEFAULT_FIELDS) -> None:
     dec = decoded_postings(post).drop("segment")
     blocks = postings_blocks(dec)
     tmp = f"{p_postings(root)}__compact"
-    # moderate batch size: this action streams BLOCK rows (KB-size binary
-    # cells) through the decode UDF and occurrence rows through the
-    # merge-encoder under the same conf — 8192 bounds both
-    with _arrow_batch_rows(spark, 8192):
+    # small batch size: this action streams BLOCK rows through the decode
+    # UDF under the same conf as the merge-encoder, and a dense block row
+    # (a universal term) can decode to hundreds of KB — 1024 rows bounds
+    # the decode batch while keeping encoder batching tolerable (compact
+    # is a rare maintenance job; correctness over speed)
+    with _arrow_batch_rows(spark, 1024):
         blocks.write.mode("overwrite").option("compression", "zstd").parquet(
             f"{tmp}/segment=0"
         )

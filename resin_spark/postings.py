@@ -31,24 +31,12 @@ _THRESH = [1 << (7 * k) for k in range(1, 10)]  # 2^7, 2^14, ... 2^63
 
 
 def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-style varint encoding of a uint64 array, vectorized."""
-    if len(values) == 0:
-        return b""
-    v = values.astype(np.uint64, copy=False)
-    nbytes = np.ones(len(v), dtype=np.int64)
-    for t in _THRESH:
-        nbytes += (v >= np.uint64(t)).astype(np.int64)
-    offsets = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
-    out = np.zeros(int(nbytes.sum()), dtype=np.uint8)
-    for j in range(10):
-        active = nbytes > j
-        if not active.any():
-            break
-        idx = offsets[active] + j
-        chunk = (v[active] >> np.uint64(7 * j)) & np.uint64(0x7F)
-        cont = (nbytes[active] - 1) > j
-        out[idx] = chunk.astype(np.uint8) | (cont.astype(np.uint8) << 7)
-    return out.tobytes()
+    """LEB128-style varint encoding of a uint64 array, vectorized.  One
+    codec implementation only: this is the single-segment case of
+    varint_encode_segmented."""
+    return varint_encode_segmented(
+        np.asarray(values), np.array([0, len(values)], dtype=np.int64)
+    )[0]
 
 
 def varint_encode_segmented(values: np.ndarray,
