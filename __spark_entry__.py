@@ -303,6 +303,18 @@ def _q_engine_not(spark, sf):
     )
 
 
+def _q_engine_stats(spark, sf):
+    """Corpus stats through the ENGINE path: n_docs from the segment
+    receipts, total_tokens/avgdl derived from the sum_tf posting-block
+    metadata (build.py) — must equal the tokenize-from-scratch oracle."""
+    eng = _engine(spark, sf)
+    st = eng.stats()["text"]
+    return spark.createDataFrame(
+        [(int(st["n_docs"]), int(st["total_tokens"]), float(st["avgdl"]))],
+        "n_docs long, total_tokens long, avgdl double",
+    )
+
+
 def _q_engine_paged(spark, sf):
     eng = _engine(spark, sf)
     return _engine_result(
@@ -419,6 +431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_engine_topk": _q_engine_topk,
         "ft_engine_and": _q_engine_and,
         "ft_engine_not": _q_engine_not,
+        "ft_engine_stats": _q_engine_stats,
         "ft_engine_paged": _q_engine_paged,
         "ft_engine_multifield": _q_engine_multifield,
         "ft_wand_topk": _q_wand_topk,
@@ -557,6 +570,7 @@ FROM documents ORDER BY doc_id LIMIT 50
         "ft_engine_topk": _bm25_topk_sql("spark"),
         "ft_engine_and": _bm25_and_sql("spark", "query"),
         "ft_engine_not": _bm25_not_sql("spark", "window"),
+        "ft_engine_stats": SQL_PRELUDE + "SELECT n_docs, total_tokens, avgdl FROM st",
         "ft_engine_paged": (
             SQL_PRELUDE
             + "SELECT doc_id, round(score, 6) AS score FROM scores "
