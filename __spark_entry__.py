@@ -3,9 +3,10 @@
 queries() exposes the SQL-expressible slices of the resin_spark engine
 (FIXTURES.md §5): tokenize / df / tf / corpus stats / BM25 top-k /
 boolean merges / char-bag classes / dedup / text analysis / embedding
-similarity — each with a DuckDB oracle in oracle_sql().  Non-SQL ops
-(MinHash LSH, SimHash, rolling fingerprints) are exposed rows-only and
-verified against pure-Python twins in tests/.
+similarity — each with a DuckDB oracle in oracle_sql().  The LSH
+pipelines (MinHash, SimHash, hyperplane ANN/near-dup) are built on md5
+32-bit lanes and integer hyperplanes precisely so their oracles are
+expressible in DuckDB: every queries() entry has a full SQL oracle.
 
 Float discipline: every score column is round(x, 6) (cosine: 4) and the
 ORDER BY uses the rounded value + id tie-break, so Spark and DuckDB agree
@@ -376,7 +377,8 @@ def _q_emb_neardup(spark, sf):
         # testdata embeddings are near-orthogonal random vectors (max
         # pairwise cosine ~0.51), so a production-style 0.9 threshold
         # returns the empty set; 0.4 exercises the verify path with rows
-        similarity.cosine_neardup_pairs(_emb(spark, sf), threshold=0.4)
+        similarity.cosine_neardup_pairs(_emb(spark, sf), threshold=0.4,
+                                        n_planes=16, bands=4, max_bucket=2000)
         .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
         .orderBy("id_a", "id_b")
     )
@@ -404,8 +406,13 @@ def _q_ann_topk(spark, sf):
 
     emb = _emb(spark, sf)
     q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    out = similarity.ann_topk(emb, [float(x) for x in q], k=10, n_planes=6)
-    return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
+    # margin then round-and-re-rank (see _q_emb_topk)
+    out = similarity.ann_topk(emb, [float(x) for x in q], k=100, n_planes=6)
+    return (
+        out.select("vec_id", F.round("cosine", 4).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -437,7 +444,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_wand_topk": _q_wand_topk,
         "ft_bm25_charbag": _q_bm25_charbag,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
-        # rows-only (no SQL oracle): LSH pipelines use xxhash64/crc32
+        # LSH pipelines: md5-lane hashes + integer hyperplanes, so each
+        # has a full DuckDB oracle (no rows-only entries left)
         "dedup_minhash_pairs": _q_minhash_pairs,
         "dedup_simhash_pairs": _q_simhash_pairs,
         "emb_ann_topk": _q_ann_topk,
@@ -475,6 +483,162 @@ FROM (SELECT * FROM scores WHERE term = '{t1}') a
 ANTI JOIN (SELECT * FROM scores WHERE term = '{t2}') b USING (doc_id)
 ORDER BY round(a.score, 6) DESC, a.doc_id ASC LIMIT 10
 """
+
+# md5 32-bit lanes — the cross-engine base hash of every LSH pipeline
+# (resin_spark.dedup._md5_lane_col / resin_spark.similarity.int_planes)
+_H1 = "('0x'||substr(md5({x}),1,8))::BIGINT"
+_H2 = "('0x'||substr(md5({x}),9,8))::BIGINT"
+
+
+def _minhash_sql(n_hashes: int = 16, bands: int = 8, k: int = 3) -> str:
+    rows = n_hashes // bands
+    return f"""
+WITH t AS (SELECT doc_id, {TOKS} AS t FROM documents),
+sh AS (
+  SELECT doc_id, CASE WHEN len(t) >= {k}
+    THEN list_transform(range(1, len(t) - {k - 2}),
+                        i -> array_to_string(list_slice(t, i, i + {k - 1}), ' '))
+    ELSE []::VARCHAR[] END AS shs
+  FROM t
+),
+lanes AS (
+  SELECT doc_id,
+         list_transform(shs, s -> {_H1.format(x='s')}) AS h1,
+         list_transform(shs, s -> {_H2.format(x='s')}) AS h2
+  FROM sh
+),
+sig AS (
+  SELECT doc_id, list_transform(range(0, {n_hashes}), i ->
+    coalesce(list_min(list_transform(range(1, len(h1) + 1),
+                      j -> (h1[j] + i * h2[j]) % 2147483647)),
+             2147483647)) AS sig
+  FROM lanes
+),
+banded AS (
+  SELECT doc_id, band,
+         md5(array_to_string(list_transform(
+             list_slice(sig, band * {rows} + 1, band * {rows} + {rows}),
+             x -> x::VARCHAR), ',')) AS bucket
+  FROM sig, (SELECT unnest(range(0, {bands})) AS band) b
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+ORDER BY id_a, id_b
+"""
+
+
+def _simhash_sql(max_hamming: int = 10) -> str:
+    ham = " + ".join(f"bit_count(xor(x.bv[{i}], y.bv[{i}]))" for i in range(1, 5))
+    return f"""
+WITH t AS (SELECT doc_id, {TOKS} AS t FROM documents),
+lanes AS (
+  SELECT doc_id,
+         list_transform(t, s -> {_H1.format(x='s')}) AS lo,
+         list_transform(t, s -> {_H2.format(x='s')}) AS hi
+  FROM t
+),
+bands AS (
+  SELECT doc_id, list_transform(range(0, 4), band ->
+    list_sum(list_transform(range(0, 16), j ->
+      CASE WHEN coalesce(list_sum(list_transform(
+                   CASE WHEN band * 16 + j < 32 THEN lo ELSE hi END,
+                   h -> CASE WHEN (h >> ((band * 16 + j) % 32)) & 1 = 1
+                        THEN 1 ELSE -1 END)), 0) > 0
+           THEN (1::BIGINT << j) ELSE 0::BIGINT END))::BIGINT) AS bv
+  FROM lanes
+),
+bb AS (
+  SELECT doc_id, band, bv[band + 1] AS bucket
+  FROM bands, (SELECT unnest(range(0, 4)) AS band) r
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bb a JOIN bb b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT p.id_a, p.id_b, ({ham})::BIGINT AS hamming
+FROM pairs p JOIN bands x ON x.doc_id = p.id_a JOIN bands y ON y.doc_id = p.id_b
+WHERE ({ham}) <= {max_hamming}
+ORDER BY id_a, id_b
+"""
+
+
+def _planes_literal(dim: int, n_planes: int) -> str:
+    from resin_spark.similarity import int_planes
+
+    rows = int_planes(dim, n_planes)
+    return "[" + ", ".join("[" + ", ".join(str(v) for v in p) + "]" for p in rows) + "]"
+
+
+_QUANT_SQL = "list_transform(embedding, x -> floor(x::DOUBLE*1024 + 0.5)::BIGINT)"
+_IDOT = ("list_sum(list_transform(list_zip(q, planes[{i}]), "
+         "z -> z[1] * z[2]))")
+_FNORM = ("sqrt(list_aggregate(list_transform(embedding, "
+          "x -> x::DOUBLE * x::DOUBLE), 'sum'))")
+
+
+def _ann_sql(dim: int = 64, n_planes: int = 6, k: int = 10) -> str:
+    bucket = " + ".join(
+        f"(CASE WHEN {_IDOT.format(i=i + 1)} > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(n_planes)
+    )
+    return f"""
+WITH pl AS (SELECT {_planes_literal(dim, n_planes)} AS planes),
+v AS (
+  SELECT vec_id, embedding, {_QUANT_SQL} AS q, {_FNORM} AS nrm
+  FROM embeddings
+),
+bk AS (SELECT vec_id, embedding, nrm, ({bucket})::BIGINT AS bucket FROM v, pl),
+qv AS (SELECT embedding AS qe, nrm AS qn, bucket AS qb FROM bk WHERE vec_id = 0),
+cand AS (
+  SELECT vec_id,
+         list_aggregate(list_transform(list_zip(embedding, (SELECT qe FROM qv)),
+                        z -> z[1]::DOUBLE * z[2]::DOUBLE), 'sum')
+           / (nrm * (SELECT qn FROM qv)) AS cosine
+  FROM bk WHERE bit_count(xor(bucket, (SELECT qb FROM qv))) <= 1
+)
+SELECT vec_id, round(cosine, 4) AS cosine FROM cand
+ORDER BY round(cosine, 4) DESC, vec_id ASC LIMIT {k}
+"""
+
+
+def _neardup_sql(dim: int = 64, n_planes: int = 16, bands: int = 4,
+                 threshold: float = 0.4, max_bucket: int = 2000) -> str:
+    bits = n_planes // bands
+    band_bucket = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(list_zip(q, planes[band*{bits}+{j + 1}]), "
+        f"z -> z[1] * z[2])) > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(bits)
+    )
+    return f"""
+WITH pl AS (SELECT {_planes_literal(dim, n_planes)} AS planes),
+v AS (
+  SELECT vec_id, embedding, {_QUANT_SQL} AS q, {_FNORM} AS nrm
+  FROM embeddings
+),
+bb AS (
+  SELECT vec_id, band, ({band_bucket})::BIGINT AS bucket
+  FROM v, pl, (SELECT unnest(range(0, {bands})) AS band) r
+),
+ok AS (SELECT band, bucket FROM bb GROUP BY 1, 2 HAVING count(*) <= {max_bucket}),
+kept AS (SELECT bb.* FROM bb JOIN ok USING (band, bucket)),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM kept a JOIN kept b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+cos AS (
+  SELECT id_a, id_b,
+         list_aggregate(list_transform(list_zip(x.embedding, y.embedding),
+                        z -> z[1]::DOUBLE * z[2]::DOUBLE), 'sum')
+           / (x.nrm * y.nrm) AS cosine
+  FROM cand JOIN v x ON x.vec_id = id_a JOIN v y ON y.vec_id = id_b
+)
+SELECT id_a, id_b, round(cosine, 4) AS cosine FROM cos
+WHERE cosine >= {threshold} ORDER BY id_a, id_b
+"""
+
 
 _STOP = {
     "en": "('the','a','of','and','to','in','is','it','that','for')",
@@ -644,8 +808,12 @@ sh AS (
          i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS shs
   FROM t
 ),
-ex AS (SELECT doc_id, unnest(shs) AS sh FROM sh),
-sizes AS (SELECT doc_id, len(shs)::BIGINT AS n FROM sh),
+ex0 AS (SELECT doc_id, unnest(shs) AS sh FROM sh),
+-- mirror resin_spark.dedup.jaccard_pairs' shingle document-frequency cap
+-- (max_df=1000): drop stopword shingles before the inverted-index join
+cold AS (SELECT sh FROM ex0 GROUP BY sh HAVING count(*) <= 1000),
+ex AS (SELECT ex0.* FROM ex0 JOIN cold USING (sh)),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM ex GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS ni
   FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -658,6 +826,11 @@ JOIN sizes sb ON sb.doc_id = id_b
 WHERE ni / (sa.n + sb.n - ni) >= 0.6
 ORDER BY id_a, id_b
 """,
+        "dedup_minhash_pairs": _minhash_sql(n_hashes=16, bands=8, k=3),
+        "dedup_simhash_pairs": _simhash_sql(max_hamming=10),
+        "emb_ann_topk": _ann_sql(dim=64, n_planes=6, k=10),
+        "dedup_emb_neardup": _neardup_sql(dim=64, n_planes=16, bands=4,
+                                          threshold=0.4, max_bucket=2000),
         "emb_cosine_topk": """
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
 c AS (

@@ -2,21 +2,28 @@
 
 Exact (hash groupBy), MinHash+LSH, SimHash, n-gram Jaccard, and
 embedding-cosine near-dup.  Everything is expressed as joins/aggregations
-Catalyst can plan; hashing is JVM-side (crc32/md5/xxhash64) so there is no
-per-row Python anywhere.  Pure-Python twins for the hash pipelines live
-here too (tests assert parity), since reproducibility of the *candidate
-pairs* is what makes distributed dedup auditable.
+Catalyst can plan; hashing is JVM-side (md5 lanes) so there is no per-row
+Python anywhere.  Pure-Python twins for the hash pipelines live here too
+(tests assert parity), since reproducibility of the *candidate pairs* is
+what makes distributed dedup auditable.
+
+All hash pipelines derive from md5 32-bit lanes (`_h32 lanes`), which are
+computable identically in Spark (`conv(substring(md5(x),..),16,10)`),
+DuckDB (`('0x'||substr(md5(x),..))::BIGINT`) and Python (`hashlib.md5`) —
+so every candidate-pair query has a full SQL oracle, not just a twin.
 
 Scale notes:
 * exact dedup = one shuffle on the fingerprint.
 * shingle/LSH pipelines shuffle on (band, bucket) — bounded fan-out,
   no O(n^2) pair explosion; only same-bucket pairs are verified.
+* the shingle inverted-index join caps shingle document frequency
+  (`max_df`) so one stopword shingle cannot create O(n^2) join rows.
 * all self-joins emit (a < b) ordered pairs to halve the pair space.
 """
 
 from __future__ import annotations
 
-import zlib
+import hashlib
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -25,6 +32,16 @@ from resin_spark.tokenizer import tokens_col
 from resin_spark.textops import fingerprint_col
 
 MERSENNE31 = (1 << 31) - 1
+
+
+def _md5_lane_col(c, start: int):
+    """One 32-bit lane of md5(c) as a long: hex chars [start, start+8)."""
+    return F.conv(F.substring(F.md5(c), start, 8), 16, 10).cast("long")
+
+
+def _md5_lanes_py(s: str) -> tuple[int, int]:
+    h = hashlib.md5(s.encode()).hexdigest()
+    return int(h[0:8], 16), int(h[8:16], 16)
 
 
 # ------------------------------------------------------------------ exact
@@ -70,49 +87,44 @@ def shingles_py(text: str, k: int = 3) -> list[str]:
 
 
 # ------------------------------------------------------------------ minhash
-def _minhash_params(n_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
-    """Deterministic (a, b) pairs for h_i(x) = (a*crc32(x) + b) % M31.
-    a < 2^20 keeps a*crc32 < 2^52 (no int64 overflow JVM-side)."""
-    import random
-
-    rng = random.Random(seed)
-    return [(rng.randrange(1, 1 << 20), rng.randrange(0, MERSENNE31))
-            for _ in range(n_hashes)]
-
-
 def minhash_signature_col(text, n_hashes: int = 32, k: int = 3):
-    """array<long> MinHash signature, fully JVM-side: crc32 each shingle,
-    then per-permutation min via transform+aggregate."""
-    params = _minhash_params(n_hashes)
+    """array<long> MinHash signature, fully JVM-side.  Double hashing
+    (Kirsch-Mitzenmacher): h_i(s) = (h1(s) + i*h2(s)) % M31 where h1/h2
+    are the two md5 32-bit lanes of the shingle — so the same signature is
+    computable in DuckDB SQL (the correctness oracle) and pure Python."""
     sh = shingles_col(text, k)
-    crcs = F.transform(sh, lambda s: F.crc32(s.cast("binary")))
-    def perm(a: int, b: int):
+    h1s = F.transform(sh, lambda s: _md5_lane_col(s, 1))
+    h2s = F.transform(sh, lambda s: _md5_lane_col(s, 9))
+    zipped = F.zip_with(h1s, h2s, lambda a, b: F.struct(a.alias("h1"), b.alias("h2")))
+
+    def perm(i: int):
         # NOTE: Spark counts lambda params to bind HOF variables, so the
         # closure must be built by a factory, not via default args.
-        return lambda c: (F.lit(a) * c + F.lit(b)) % F.lit(MERSENNE31)
+        return lambda z: (z["h1"] + F.lit(i) * z["h2"]) % F.lit(MERSENNE31)
 
     sig = [
         F.when(
-            F.size(crcs) > 0,
-            F.array_min(F.transform(crcs, perm(a, b))),
+            F.size(zipped) > 0,
+            F.array_min(F.transform(zipped, perm(i))),
         ).otherwise(F.lit(MERSENNE31))
-        for a, b in params
+        for i in range(n_hashes)
     ]
     return F.array(*sig)
 
 
 def minhash_signature_py(text: str, n_hashes: int = 32, k: int = 3) -> list[int]:
-    params = _minhash_params(n_hashes)
-    crcs = [zlib.crc32(s.encode()) for s in shingles_py(text, k)]
-    if not crcs:
+    lanes = [_md5_lanes_py(s) for s in shingles_py(text, k)]
+    if not lanes:
         return [MERSENNE31] * n_hashes
-    return [min((a * c + b) % MERSENNE31 for c in crcs) for a, b in params]
+    return [min((h1 + i * h2) % MERSENNE31 for h1, h2 in lanes)
+            for i in range(n_hashes)]
 
 
 def minhash_candidates(df: DataFrame, key: str = "doc_id", text: str = "text",
                        n_hashes: int = 32, bands: int = 8, k: int = 3) -> DataFrame:
     """LSH banding: equal band-slices => candidate pair.  Returns distinct
-    (id_a < id_b) pairs.  Shuffles on (band, bucket) only."""
+    (id_a < id_b) pairs.  Shuffles on (band, bucket) only; the bucket key
+    is md5 of the band slice (bounded key size, oracle-expressible)."""
     rows = n_hashes // bands
     sig = df.select(F.col(key).alias("id"),
                     minhash_signature_col(text, n_hashes, k).alias("sig"))
@@ -123,7 +135,7 @@ def minhash_candidates(df: DataFrame, key: str = "doc_id", text: str = "text",
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
-                    F.xxhash64(
+                    F.md5(
                         F.array_join(
                             F.transform(
                                 F.slice(F.col("sig"), b * rows + 1, rows),
@@ -150,17 +162,31 @@ def minhash_candidates(df: DataFrame, key: str = "doc_id", text: str = "text",
 
 def jaccard_pairs(df: DataFrame, key: str = "doc_id", text: str = "text",
                   k: int = 3, threshold: float = 0.6,
-                  candidates: DataFrame | None = None) -> DataFrame:
+                  candidates: DataFrame | None = None,
+                  max_df: int = 1000) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs (or all same-shingle
     pairs when candidates is None): (id_a, id_b, jaccard >= threshold).
 
     The no-candidates path joins on distinct shingles — the classic
-    inverted-index join; a stopword-shingle cap would be added at 100 TB
-    (drop shingles with df above a bound) to keep fan-out bounded."""
+    inverted-index join — with a document-frequency cap: shingles shared
+    by more than `max_df` docs are dropped BEFORE the self-join, so one
+    stopword shingle ("of the and") cannot create O(n^2) join rows at
+    100 TB.  The computed jaccard is then over the sub-max_df shingle
+    sets of both docs (intersection AND doc sizes use the same filtered
+    universe, so j stays in [0,1] and equals true jaccard whenever no
+    capped shingle is involved).  The cap is mirrored in the DuckDB
+    oracle, so `dedup_ngram_jaccard` stays hash-exact either way."""
     sh = df.select(
         F.col(key).alias("id"),
         F.explode(F.array_distinct(shingles_col(text, k))).alias("sh"),
     )
+    if candidates is None and max_df is not None:
+        hot = (
+            sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("sh")
+        )
+        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     if candidates is None:
         a, b = sh.alias("a"), sh.alias("b")
@@ -193,60 +219,70 @@ def jaccard_pairs(df: DataFrame, key: str = "doc_id", text: str = "text",
 
 
 # ------------------------------------------------------------------ simhash
-def _hash64_col(c):
-    """64-bit token hash from two crc32 views (JVM-reproducible in Python)."""
-    lo = F.crc32(c.cast("binary"))
-    hi = F.crc32(F.concat(c, F.lit("#")).cast("binary"))
-    return F.shiftleft(hi, 32).bitwiseOR(lo)
+def simhash_bands_col(text):
+    """array<long> of 4 x 16-bit SimHash band values over tokens.
 
-
-def _hash64_py(s: str) -> int:
-    lo = zlib.crc32(s.encode())
-    hi = zlib.crc32((s + "#").encode())
-    return (hi << 32) | lo
-
-
-def simhash_col(text):
-    """64-bit SimHash over tokens: per bit, sign of the sum of ±1
-    contributions.  Built-ins only; the 64 bit expressions are unrolled in
-    Python (shift amounts must be int literals in Spark)."""
+    Token hash = the two md5 32-bit lanes (lo = bits 0-31, hi = 32-63);
+    per global bit b, the vote is the sign of the ±1 sum over tokens.
+    Band j holds bits 16j..16j+15 as a non-negative value < 2^16 — kept
+    banded (not packed into one int64) so there is no sign-bit hazard and
+    the same values are computable in DuckDB list SQL for the oracle."""
     toks = tokens_col(text)
-    hashes = F.transform(toks, _hash64_col)
+    los = F.transform(toks, lambda t: _md5_lane_col(t, 1))
+    his = F.transform(toks, lambda t: _md5_lane_col(t, 9))
 
     def bit_sum(b: int):
+        lane, off = (los, b) if b < 32 else (his, b - 32)
         return F.aggregate(
-            hashes,
+            lane,
             F.lit(0).cast("long"),
             lambda acc, h: acc
             + F.when(
-                F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                F.shiftrightunsigned(h, off).bitwiseAND(F.lit(1)) == 1, F.lit(1)
             ).otherwise(F.lit(-1)),
         )
 
-    out = F.lit(0).cast("long")
-    for b in range(64):
-        mask = (1 << b) if b < 63 else -(1 << 63)  # avoid int64 overflow
-        out = out.bitwiseOR(
-            F.when(bit_sum(b) > 0, F.lit(mask).cast("long")).otherwise(
-                F.lit(0).cast("long")
+    bands = []
+    for band in range(4):
+        v = F.lit(0).cast("long")
+        for j in range(16):
+            v = v.bitwiseOR(
+                F.when(bit_sum(band * 16 + j) > 0,
+                       F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
             )
-        )
-    return out
+        bands.append(v)
+    return F.array(*bands)
 
 
-def simhash_py(text: str) -> int:
+def simhash_bands_py(text: str) -> list[int]:
     from resin_spark.tokenizer import tokenize_py
 
     toks = tokenize_py(text)
     acc = [0] * 64
     for t in toks:
-        h = _hash64_py(t)
+        lo, hi = _md5_lanes_py(t)
+        h = (hi << 32) | lo
         for b in range(64):
             acc[b] += 1 if (h >> b) & 1 else -1
+    return [
+        sum((1 << j) for j in range(16) if acc[band * 16 + j] > 0)
+        for band in range(4)
+    ]
+
+
+def simhash_col(text):
+    """Packed 64-bit SimHash (two's-complement int64) from the bands."""
+    bands = simhash_bands_col(text)
+    out = bands[0]
+    for b in range(1, 4):
+        out = out.bitwiseOR(F.shiftleft(bands[b], b * 16))
+    return out
+
+
+def simhash_py(text: str) -> int:
     out = 0
-    for b in range(64):
-        if acc[b] > 0:
-            out |= 1 << b
+    for b, v in enumerate(simhash_bands_py(text)):
+        out |= v << (b * 16)
     # two's-complement int64, matching the Spark column's LongType (bit 63
     # set => negative) so the twins compare equal directly
     return out - (1 << 64) if out >= (1 << 63) else out
@@ -255,31 +291,30 @@ def simhash_py(text: str) -> int:
 def simhash_candidates(df: DataFrame, key: str = "doc_id", text: str = "text",
                        max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by SimHash: band the 64 bits into 4x16, bucket-join,
-    verify Hamming distance <= max_hamming."""
-    sh = df.select(F.col(key).alias("id"), simhash_col(text).alias("sh"))
-    # 4 bands of 16 bits, unrolled (shift amounts must be int literals)
+    verify Hamming distance <= max_hamming (sum of per-band bit_counts)."""
+    sh = df.select(F.col(key).alias("id"), simhash_bands_col(text).alias("bv"))
     band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.shiftrightunsigned(F.col("sh"), b * 16)
-            .bitwiseAND(F.lit(0xFFFF))
-            .alias("bucket"),
-        )
+        F.struct(F.lit(b).alias("band"), F.col("bv")[b].alias("bucket"))
         for b in range(4)
     ]
     banded = sh.select(
-        "id", "sh", F.explode(F.array(*band_structs)).alias("bb")
-    ).select("id", "sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        "id", "bv", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("id", "bv", F.col("bb.band").alias("band"),
+             F.col("bb.bucket").alias("bucket"))
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.bucket") == F.col("b.bucket"))
                & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b"))
+                F.col("a.bv").alias("bv_a"), F.col("b.bv").alias("bv_b"))
         .distinct()
     )
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    ham = sum(
+        (F.bit_count(F.col("bv_a")[i].bitwiseXOR(F.col("bv_b")[i])).cast("long")
+         for i in range(4)),
+        start=F.lit(0).cast("long"),
+    )
     return pairs.select("id_a", "id_b", ham.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )

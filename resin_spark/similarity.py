@@ -6,23 +6,35 @@
   dot products with D deterministic hyperplanes put each vector in a
   bucket; the query probes its own bucket (+ optional multi-probe with
   Hamming-1 neighbors), so the scan touches ~n/2^D vectors instead of n.
-* embedding-cosine near-duplicate pairs — same hyperplane buckets as the
-  blocking key, exact cosine verification inside buckets only.
+* embedding-cosine near-duplicate pairs — multi-band hyperplane buckets
+  as the blocking key (pairs differing in a few plane bits still collide
+  in some band), exact cosine verification inside buckets only, and a
+  per-bucket size cap so a degenerate bucket cannot go O(n^2).
 
-Hyperplanes are generated from a fixed seed (numpy PRNG) and folded into
-the plan as literals, so Spark and the pure-Python twin agree exactly on
-bucket assignment.
+Hyperplane components are INTEGERS derived from md5 (`int_planes`) and
+embeddings are quantized to integers (`floor(x*1024 + 0.5)`) before the
+sign test, so bucket assignment is exact integer arithmetic — bit-equal
+across Spark, DuckDB (the correctness oracle) and pure Python, with no
+float-summation-order hazard.  Exact cosine (the verify/rank step) stays
+float64 over the ORIGINAL embeddings; quantization only affects recall,
+never reported scores.  Mirrors the role of Resin's cosine tree walk
+(/root/reference/src/Sir.VectorSpace/PathFinder.cs:8-46) as the
+approximate candidate generator in front of exact scoring.
 """
 
 from __future__ import annotations
 
-import numpy as np
+import hashlib
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+QUANT = 1024  # embedding quantization scale for bucket bits
+
 
 def _dot(vec_col, qvec: list[float]):
-    """JVM-side dot product with a literal query vector."""
+    """JVM-side float64 dot product with a literal query vector."""
     lit = F.array(*[F.lit(float(x)) for x in qvec])
     return F.aggregate(
         F.zip_with(vec_col, lit, lambda x, y: x.cast("double") * y),
@@ -44,8 +56,6 @@ def _norm(vec_col):
 def cosine_topk(df: DataFrame, qvec: list[float], k: int = 10,
                 key: str = "vec_id", vec: str = "embedding") -> DataFrame:
     """Exact brute-force cosine top-k: one scan + TakeOrderedAndProject."""
-    import math
-
     qn = math.sqrt(sum(float(x) * float(x) for x in qvec)) or 1.0
     cos = _dot(F.col(vec), qvec) / (_norm(F.col(vec)) * F.lit(qn))
     return (
@@ -55,47 +65,73 @@ def cosine_topk(df: DataFrame, qvec: list[float], k: int = 10,
     )
 
 
-def hyperplanes(dim: int, n_planes: int = 8, seed: int = 42) -> np.ndarray:
-    rng = np.random.default_rng(seed)
-    return rng.standard_normal((n_planes, dim))
+# --------------------------------------------------------------- LSH planes
+def int_planes(dim: int, n_planes: int = 8, tag: str = "plane") -> list[list[int]]:
+    """Deterministic integer hyperplanes: component (i, d) is a 16-bit
+    signed int derived from md5(f"{tag}{i}_{d}") — reproducible in any
+    engine without a PRNG, inlined as literals in plans and oracle SQL."""
+    return [
+        [
+            int(hashlib.md5(f"{tag}{i}_{d}".encode()).hexdigest()[:4], 16) - 32768
+            for d in range(dim)
+        ]
+        for i in range(n_planes)
+    ]
 
 
-def bucket_col(vec_col, planes: np.ndarray):
-    """LSH bucket id = sign bits of dot(vec, plane_i)."""
-    bits = []
+def quantize_col(vec_col):
+    """array<long> quantized embedding: floor(x*QUANT + 0.5) — exact and
+    identical in Spark, DuckDB and Python for float32 inputs."""
+    return F.transform(
+        vec_col,
+        lambda x: F.floor(x.cast("double") * QUANT + F.lit(0.5)).cast("long"),
+    )
+
+
+def quantize_py(v: list[float]) -> list[int]:
+    return [int(math.floor(float(x) * QUANT + 0.5)) for x in v]
+
+
+def _int_dot_col(qcol, plane: list[int]):
+    lit = F.array(*[F.lit(int(p)).cast("long") for p in plane])
+    return F.aggregate(
+        F.zip_with(qcol, lit, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def bucket_col(vec_col, planes: list[list[int]]):
+    """LSH bucket id = sign bits of integer dot(quantize(vec), plane_i)."""
+    qcol = quantize_col(vec_col)
+    out = F.lit(0).cast("long")
     for i, p in enumerate(planes):
-        bits.append(
-            F.when(_dot(vec_col, p.tolist()) > 0,
+        out = out.bitwiseOR(
+            F.when(_int_dot_col(qcol, p) > 0,
                    F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
         )
-    out = F.lit(0).cast("long")
-    for b in bits:
-        out = out.bitwiseOR(b)
     return out
 
 
-def bucket_py(v: list[float], planes: np.ndarray) -> int:
+def bucket_py(v: list[float], planes: list[list[int]]) -> int:
+    q = quantize_py(v)
     out = 0
     for i, p in enumerate(planes):
-        # mirror the JVM float64 op order: sum of x*y left to right
-        s = 0.0
-        for x, y in zip(v, p.tolist()):
-            s += float(np.float64(x)) * y
-        if s > 0:
+        if sum(x * y for x, y in zip(q, p)) > 0:
             out |= 1 << i
     return out
 
 
 def ann_topk(df: DataFrame, qvec: list[float], k: int = 10,
              key: str = "vec_id", vec: str = "embedding",
-             n_planes: int = 8, seed: int = 42,
+             n_planes: int = 8,
              multiprobe: bool = True) -> DataFrame:
     """ANN top-k: probe the query's hyperplane bucket (+ Hamming-1
     neighbors when multiprobe) with exact cosine re-ranking inside.
     At 100 TB the table is written bucketed by `bucket` so this becomes a
     partition-pruned scan of ~(1+D)/2^D of the data."""
     dim = len(qvec)
-    planes = hyperplanes(dim, n_planes, seed)
+    planes = int_planes(dim, n_planes)
     qb = bucket_py([float(x) for x in qvec], planes)
     probes = [qb] + ([qb ^ (1 << i) for i in range(n_planes)] if multiprobe else [])
     bucketed = df.withColumn("bucket", bucket_col(F.col(vec), planes))
@@ -103,37 +139,105 @@ def ann_topk(df: DataFrame, qvec: list[float], k: int = 10,
     return cosine_topk(cand, qvec, k=k, key=key, vec=vec)
 
 
+def neardup_bucket_stats(df: DataFrame, key: str = "vec_id",
+                         vec: str = "embedding", n_planes: int = 16,
+                         bands: int = 4) -> DataFrame:
+    """Per-(band, bucket) sizes for cosine_neardup_pairs — the operator's
+    skew metric.  Buckets above the cap show up here even though the pair
+    join drops them (count > max_bucket => that bucket was skipped)."""
+    bits = n_planes // bands
+    planes = int_planes(_dim_of(df, vec), n_planes)
+    b = df.select(
+        F.col(key).alias("id"),
+        *_band_cols(F.col(vec), planes, bands, bits),
+    )
+    bb = _explode_bands(b, bands)
+    return bb.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _dim_of(df: DataFrame, vec: str) -> int:
+    first = df.select(F.col(vec).alias("v")).first()
+    return len(first["v"]) if first and first["v"] is not None else 2
+
+
+def _band_cols(vec_col, planes: list[list[int]], bands: int, bits: int):
+    """One bucket column per band: sign bits of planes [band*bits, +bits)."""
+    qcol = quantize_col(vec_col)
+    cols = []
+    for band in range(bands):
+        v = F.lit(0).cast("long")
+        for j in range(bits):
+            p = planes[band * bits + j]
+            v = v.bitwiseOR(
+                F.when(_int_dot_col(qcol, p) > 0,
+                       F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+            )
+        cols.append(v.alias(f"b{band}"))
+    return cols
+
+
+def _explode_bands(b: DataFrame, bands: int) -> DataFrame:
+    structs = [
+        F.struct(F.lit(i).alias("band"), F.col(f"b{i}").alias("bucket"))
+        for i in range(bands)
+    ]
+    return b.select(
+        "*", F.explode(F.array(*structs)).alias("bb")
+    ).select(b.columns + [F.col("bb.band").alias("band"),
+                          F.col("bb.bucket").alias("bucket")])
+
+
 def cosine_neardup_pairs(df: DataFrame, threshold: float = 0.95,
                          key: str = "vec_id", vec: str = "embedding",
-                         n_planes: int = 8, seed: int = 42) -> DataFrame:
-    """Embedding near-duplicate pairs: hyperplane bucket as blocking key,
-    exact cosine verification within buckets, (a < b) ordered."""
-    first = df.select(F.col(key).alias("id"), F.col(vec).alias("v")).first()
-    dim = len(first["v"]) if first else 2
-    planes = hyperplanes(dim, n_planes, seed)
+                         n_planes: int = 16, bands: int = 4,
+                         max_bucket: int = 2000) -> DataFrame:
+    """Embedding near-duplicate pairs, (a < b) ordered, exact-cosine
+    verified.  Blocking: `bands` bands of n_planes/bands hyperplane sign
+    bits each — a pair is a candidate if it collides in ANY band, so
+    near-dups that differ in a couple of plane signs are still found
+    (multi-band = Hamming-tolerant, the fix for single-bucket recall).
+    Buckets larger than `max_bucket` are dropped from the pair join
+    (candidate work per band <= n_buckets * max_bucket^2 / 2 instead of
+    O(n^2)); other bands still cover their pairs, and the dropped buckets
+    are observable via neardup_bucket_stats."""
+    bits = n_planes // bands
+    planes = int_planes(_dim_of(df, vec), n_planes)
     b = df.select(
         F.col(key).alias("id"),
         F.col(vec).alias("v"),
-        bucket_col(F.col(vec), planes).alias("bucket"),
         _norm(F.col(vec)).alias("nrm"),
+        *_band_cols(F.col(vec), planes, bands, bits),
     )
-    l, r = b.alias("l"), b.alias("r")
-    pairs = l.join(
-        r,
-        (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")),
+    bb = _explode_bands(b, bands).select("id", "v", "nrm", "band", "bucket")
+    ok = (
+        bb.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= max_bucket)
+        .select("band", "bucket")
+    )
+    bb = bb.join(F.broadcast(ok), ["band", "bucket"])
+    l, r = bb.alias("l"), bb.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+            F.col("l.v").alias("va"), F.col("r.v").alias("vb"),
+            F.col("l.nrm").alias("na"), F.col("r.nrm").alias("nb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
     )
     dot = F.aggregate(
-        F.zip_with(F.col("l.v"), F.col("r.v"),
+        F.zip_with(F.col("va"), F.col("vb"),
                    lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    cos = dot / (F.col("l.nrm") * F.col("r.nrm"))
+    cos = dot / (F.col("na") * F.col("nb"))
     return (
-        pairs.select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            cos.alias("cosine"),
-        )
+        pairs.select("id_a", "id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )

@@ -79,6 +79,47 @@ def test_jaccard_pairs(spark, docs):
     assert set(got2) <= set(got)
 
 
+def test_jaccard_df_cap_bounds_hot_shingles(spark):
+    """One stopword shingle shared by every doc must not create O(n^2)
+    pairs: with max_df the hot shingle is dropped before the self-join,
+    while pairs backed by cold shingles survive."""
+    near_a = "alpha beta gamma delta epsilon zeta eta theta"
+    near_b = "alpha beta gamma delta epsilon zeta eta iota"
+    hot = [(i, f"aaa bbb ccc x{i}") for i in range(2, 12)]
+    df = spark.createDataFrame(
+        [(0, near_a), (1, near_b)] + hot, "doc_id long, text string"
+    )
+    uncapped = {(r["id_a"], r["id_b"])
+                for r in dedup.jaccard_pairs(df, k=3, threshold=0.3,
+                                             max_df=None).collect()}
+    capped = {(r["id_a"], r["id_b"])
+              for r in dedup.jaccard_pairs(df, k=3, threshold=0.3,
+                                           max_df=3).collect()}
+    # hot docs pair up without the cap (share 'aaa bbb ccc', j = 1/3)...
+    assert sum(1 for a, b in uncapped if a >= 2 and b >= 2) == 45
+    # ...and are gone with it, while the genuine near-dup pair survives
+    assert all(a < 2 or b < 2 for a, b in capped)
+    assert (0, 1) in capped and (0, 1) in uncapped
+
+
+def test_neardup_bucket_cap_bounds_dense_bucket(spark):
+    """A degenerate corpus (everyone in one bucket) stays bounded: over-cap
+    buckets are dropped from the pair join and reported by the stats DF."""
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = similarity.cosine_neardup_pairs(
+        df, threshold=0.9, n_planes=16, bands=4, max_bucket=10
+    ).collect()
+    assert pairs == []  # every band's single bucket exceeds the cap
+    stats = similarity.neardup_bucket_stats(df, n_planes=16, bands=4).collect()
+    assert all(r["n"] == 30 for r in stats) and len(stats) == 4
+    # with a sane cap the identical vectors are all found
+    ok = similarity.cosine_neardup_pairs(
+        df, threshold=0.9, n_planes=16, bands=4, max_bucket=1000
+    ).count()
+    assert ok == 30 * 29 / 2
+
+
 def test_simhash_parity_and_candidates(spark, docs):
     texts = {r["doc_id"]: r["text"] for r in docs.collect()}
     rows = docs.select("doc_id", dedup.simhash_col("text").alias("sh")).collect()
