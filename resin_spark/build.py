@@ -69,28 +69,34 @@ POSTINGS_SCHEMA = StructType(POSTINGS_FIELDS)
 
 
 class _arrow_batch_rows:
-    """Temporarily raise spark.sql.execution.arrow.maxRecordsPerBatch for
-    the duration of a build action: the session default (512) suits the
-    query-time decode UDF whose rows carry KB-size binary cells, but the
-    merge-encoder streams SMALL occurrence rows and wants big batches
-    (fewer carry hand-offs, less per-batch Python overhead)."""
+    """Temporarily set BOTH Arrow input-batch bounds for a build action:
+    a high record cap (the merge-encoder streams SMALL occurrence rows
+    and wants big batches — fewer carry hand-offs, less per-batch Python
+    overhead) plus a byte cap that keeps any KB-cell rows flowing through
+    the SAME conf window (the compact decode UDF, or a concurrent query's
+    posting-block decode) bounded to ~16 MiB Arrow buffers per batch
+    instead of record-cap × cell-size — so the session-global flip can no
+    longer balloon a bystander's per-task Python memory."""
 
-    KEY = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    KEYS = {
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "131072",
+        "spark.sql.execution.arrow.maxBytesPerBatch": str(16 << 20),
+    }
 
-    # CAVEAT: runtime SQL confs are session-global — a query submitted on
-    # the SAME session while a build/compact action is in flight will also
-    # decode its posting blocks at the larger batch size.  Run maintenance
-    # jobs on their own session when serving concurrent search traffic.
-
-    def __init__(self, spark: SparkSession, n: int = 131072):
-        self.spark, self.n = spark, n
+    def __init__(self, spark: SparkSession, n: int | None = None):
+        self.spark = spark
+        self.keys = dict(self.KEYS)
+        if n is not None:
+            self.keys["spark.sql.execution.arrow.maxRecordsPerBatch"] = str(n)
 
     def __enter__(self):
-        self.old = self.spark.conf.get(self.KEY)
-        self.spark.conf.set(self.KEY, str(self.n))
+        self.old = {k: self.spark.conf.get(k) for k in self.keys}
+        for k, v in self.keys.items():
+            self.spark.conf.set(k, v)
 
     def __exit__(self, *exc):
-        self.spark.conf.set(self.KEY, self.old)
+        for k, v in self.old.items():
+            self.spark.conf.set(k, v)
 
 
 # ---------------------------------------------------------------- paths
@@ -395,9 +401,14 @@ def extend_conv_dim(spark: SparkSession, batch: DataFrame, root: str) -> DataFra
     IDs already packed from them must stay valid).  Returns the full
     (old + new) dimension.  Used by resumed builds and streaming appends."""
     new_convs = batch.select("conv_id").distinct()
-    try:
+    # existence is probed explicitly: ONLY a missing dimension means
+    # "start empty".  A transient read failure (FS hiccup, corrupt
+    # footer) must raise, not silently restart slot assignment at 0 —
+    # that would hand new conv_ids doc_id ranges that collide with
+    # already-indexed ones (silent index corruption on appends/resume).
+    if _exists(spark, p_conv_dim(root)):
         old = spark.read.parquet(p_conv_dim(root))
-    except Exception:
+    else:
         old = spark.createDataFrame([], schema=ids.CONV_DIM_SCHEMA)
     base_row = old.agg(F.max("conv_slot").alias("m")).collect()[0]
     base = (base_row["m"] + 1) if base_row["m"] is not None else 0
@@ -434,6 +445,7 @@ def _append_lineage(spark: SparkSession, root: str, segment: int, step: str,
         {"segment": [segment], "step": [step], "status": ["complete"],
          "n_rows": [n_rows], "wall_sec": [float(wall_sec)]},
         _LINEAGE_ARROW,
+        LINEAGE_SCHEMA,
     )
 
 
@@ -447,15 +459,20 @@ def _append_metrics(spark: SparkSession, root: str, rows: list[tuple]) -> None:
             "value": [float(r[3]) for r in rows],
         },
         _METRICS_ARROW,
+        METRICS_SCHEMA,
     )
 
 
-def _driver_parquet_append(dir_path: str, columns: dict, schema) -> None:
+def _driver_parquet_append(dir_path: str, columns: dict, schema, ddl: str) -> None:
     """Receipt write.  Local paths take the fast pyarrow path (no Spark
     job); non-local URIs (hdfs://, s3a://, ...) go through a one-row
     Spark write so the receipt lands on the SAME filesystem the resume
     anti-join reads — a driver-local receipt on a cluster would make
-    completed_segments() blind."""
+    completed_segments() blind.  Both branches write the SAME explicit
+    schema (``ddl`` mirrors the pyarrow ``schema``): letting
+    createDataFrame infer types would write int64 where the arrow path
+    writes int32, and a root fed by both paths would then fail the
+    lineage read with a parquet schema-merge error."""
     import os
     import re
     import uuid
@@ -465,7 +482,7 @@ def _driver_parquet_append(dir_path: str, columns: dict, schema) -> None:
 
         spark = SparkSession.getActiveSession()
         rows = list(zip(*columns.values()))
-        spark.createDataFrame(rows, schema=list(columns.keys())).coalesce(
+        spark.createDataFrame(rows, schema=ddl).coalesce(
             1
         ).write.mode("append").parquet(dir_path)
         return
@@ -697,12 +714,11 @@ def compact(spark: SparkSession, root: str) -> None:
     dec = decoded_postings(post).drop("segment")
     blocks = postings_blocks(dec)
     tmp = f"{p_postings(root)}__compact"
-    # small batch size: this action streams BLOCK rows through the decode
-    # UDF under the same conf as the merge-encoder, and a dense block row
-    # (a universal term) can decode to hundreds of KB — 1024 rows bounds
-    # the decode batch while keeping encoder batching tolerable (compact
-    # is a rare maintenance job; correctness over speed)
-    with _arrow_batch_rows(spark, 1024):
+    # this action streams BLOCK rows through the decode UDF under the
+    # same conf as the merge-encoder; the byte cap in _arrow_batch_rows
+    # bounds the decode batches (a dense universal-term block row decodes
+    # to hundreds of KB) while the encoder still gets big record batches
+    with _arrow_batch_rows(spark):
         blocks.write.mode("overwrite").option("compression", "zstd").parquet(
             f"{tmp}/segment=0"
         )

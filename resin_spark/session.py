@@ -66,9 +66,12 @@ def make_session(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # posting-block rows carry large array cells; small Arrow batches
-        # bound per-task buffer memory in the codec UDFs
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        # Arrow input batches are bounded two ways: a high record cap for
+        # narrow occurrence rows (the merge-encoder wants big batches) and
+        # a byte cap so posting-block rows with KB-size binary cells can't
+        # balloon a decode batch to record-cap x cell-size
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "131072")
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", str(16 << 20))
         # NOTE: the index build deliberately contains NO ObjectHashAggregate
         # (posting merge = repartition-and-sort + streaming mapInPandas), so
         # the sort-based fallback threshold stays at its safe default — the

@@ -43,18 +43,28 @@ extend_conv_dim = B.extend_conv_dim
 
 
 def index_microbatch(root: str, fields: tuple[str, ...] = B.DEFAULT_FIELDS,
-                     segment_base: int = 1000):
+                     segment_base: int = 1000,
+                     write_doclens: bool | None = None):
     """foreachBatch callback factory: each micro-batch becomes one index
-    segment (idempotent on replay: segment id = base + batch id)."""
+    segment (idempotent on replay: segment id = base + batch id).
+
+    ``write_doclens=None`` auto-detects: if the index root already carries
+    the doclens artifact, streamed segments keep writing it — otherwise a
+    later compact would merge a doclens table covering only the
+    pre-streaming docs."""
 
     def _fn(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
         spark = batch.sparkSession
+        dl = write_doclens
+        if dl is None:
+            dl = B._exists(spark, B.p_doclens(root))
         conv_dim = extend_conv_dim(spark, batch, root)
         seg = segment_base + int(batch_id)
         seg_df = batch.withColumn("segment", F.lit(seg))
-        B._build_segment(spark, seg_df, conv_dim, root, fields, seg)
+        B._build_segment(spark, seg_df, conv_dim, root, fields, seg,
+                         write_doclens=dl)
 
     return _fn
 
@@ -68,6 +78,7 @@ def stream_index(
                    "tool string, ts timestamp"),
     fields: tuple[str, ...] = B.DEFAULT_FIELDS,
     trigger_once: bool = True,
+    write_doclens: bool | None = None,
 ):
     """File-source streaming index build: watch ``source_dir`` for new
     transcript parquet files, index each micro-batch as a new segment.
@@ -81,7 +92,9 @@ def stream_index(
         spark.readStream.schema(schema).parquet(source_dir)
     )
     writer = (
-        stream.writeStream.foreachBatch(index_microbatch(root, fields))
+        stream.writeStream.foreachBatch(
+            index_microbatch(root, fields, write_doclens=write_doclens)
+        )
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
     )

@@ -48,6 +48,29 @@ def test_stream_index_equals_batch(spark, tmp_path):
         assert got == pytest.approx(want)
 
 
+def test_stream_keeps_doclens_artifact(spark, tmp_path):
+    """A root built with write_doclens=True keeps getting per-segment
+    doclens from streamed micro-batches (auto-detected), so a later
+    compact merges a doclens table covering ALL docs."""
+    from resin_spark.streaming import index_microbatch
+
+    t = transcripts_df(spark, n_convs=8, max_turns=3)
+    w1 = t.filter(F.col("conv_id") < "conv00000004")
+    w2 = t.filter(F.col("conv_id") >= "conv00000004")
+    root = str(tmp_path / "idx_dl")
+    B.build_index(spark, w1, root, fields=("text",), write_doclens=True)
+    index_microbatch(root, fields=("text",))(w2, 0)
+    dl = B.read_doclens(spark, root)
+    assert dl.count() == t.count()
+    segs = {r["segment"] for r in dl.select("segment").distinct().collect()}
+    assert len(segs) == 2
+    # a root WITHOUT the artifact stays without it
+    root2 = str(tmp_path / "idx_nodl")
+    B.build_index(spark, w1, root2, fields=("text",))
+    index_microbatch(root2, fields=("text",))(w2, 0)
+    assert not B._exists(spark, B.p_doclens(root2))
+
+
 def test_stream_replay_is_idempotent(spark, tmp_path):
     """Replaying the same batch id overwrites its own segment dir (no
     duplicate postings)."""
