@@ -152,7 +152,12 @@ class SearchEngine:
         anagram-colliding char-bag term identity via chars_key."""
         q = parse_query(query) if isinstance(query, dict) else query
         ranked = self._ranked(q, term_identity)
-        ranked = ranked.orderBy(F.desc("score"), F.asc("doc_id"))
+        if k or skip:
+            # top-k path: TakeOrderedAndProject.  With k=0 and skip=0
+            # ("all", e.g. save_as CTAS) the pre-sort would be a wasted
+            # corpus-sized range shuffle — the docs join destroys order
+            # and the final orderBy re-sorts anyway
+            ranked = ranked.orderBy(F.desc("score"), F.asc("doc_id"))
         if skip:
             ranked = ranked.offset(skip)
         if k:
@@ -184,8 +189,29 @@ class SearchEngine:
     def _key_col(self, term_identity: str) -> str:
         return "term" if term_identity == "surface" else "chars_key"
 
+    # mask-fold fast path bounds: one bit per unique (field, term) key
+    _MASK_MAX_KEYS = 63
+    _MASK_MAX_CLASSES = 4096
+
     def _ranked(self, q: Query, term_identity: str) -> DataFrame:
-        """(doc_id, score) after the boolean fold."""
+        """(doc_id, score) after the boolean fold.
+
+        Two physical strategies, identical semantics (the differential
+        fuzz suite runs both against the oracle):
+
+        * multi-term queries (the common case) use the MASK FOLD: one
+          per-doc aggregation over the decoded postings produces each
+          doc's matched-term bitmask + per-term (tf, dl); the entire
+          Reducer fold then runs driver-side over the observed mask
+          CLASSES (docs with identical term membership behave
+          identically), where emptiness decisions are exact set checks —
+          no per-merge isEmpty probe jobs, no iterated self-joins.  Two
+          Spark jobs per query total (mask histogram + top-k), one
+          shuffle over matched postings.
+        * single-term queries stream straight through (df off the block
+          metadata, no aggregation); pathological shapes (> 63 unique
+          keys, > 4096 mask classes) fall back to the iterated-join fold.
+        """
         # evict the previous query's persisted postings: a long-lived
         # engine must not accumulate one cached RDD per query (a caller
         # still holding an old result DataFrame just recomputes it)
@@ -200,6 +226,11 @@ class SearchEngine:
         for t in terms:
             tok = t.token if term_identity == "surface" else chars_key_py(t.token)
             by_field.setdefault(t.field, set()).add(tok)
+        keys = sorted((f, tok) for f, toks in by_field.items() for tok in toks)
+        if 1 < len(keys) <= self._MASK_MAX_KEYS:
+            out = self._ranked_mask(q, by_field, keys, term_identity)
+            if out is not None:
+                return out
 
         # map phase: pushed-down postings scan of exactly the queried terms
         pred = _functools_reduce(
@@ -278,6 +309,160 @@ class SearchEngine:
                 F.col("id").alias("doc_id"), F.lit(0.0).alias("score")
             )
         return result
+
+    # ---------------------------------------------------- mask-fold path
+    def _ranked_mask(self, q: Query, by_field: dict, keys: list,
+                     term_identity: str) -> DataFrame | None:
+        """One-aggregation boolean fold (see _ranked docstring).  Returns
+        None to signal fallback to the iterated-join fold (mask-class
+        explosion)."""
+        key_col = self._key_col(term_identity)
+        idx = {k: i for i, k in enumerate(keys)}
+        pred = _functools_reduce(
+            lambda a, b: a | b,
+            [
+                (F.col("field") == f) & F.col(key_col).isin(sorted(toks))
+                for f, toks in by_field.items()
+            ],
+        )
+        matched = self.postings().filter(pred)
+        decoded = B.decoded_postings(
+            matched.select("field", key_col, "segment",
+                           "doc_ids_bin", "tfs_bin", "dls_bin")
+            .withColumnRenamed(key_col, "term")
+        )
+
+        # per-doc aggregation: matched-key bitmask + per-key (tf, dl).
+        # sum(tf) doubles as the charbag anagram merge (surface mode has
+        # one row per (doc, key) so sum == the value).
+        def cond(i: int):
+            f, tok = keys[i]
+            return (F.col("field") == f) & (F.col("term") == tok)
+
+        aggs = []
+        for i in range(len(keys)):
+            aggs.append(F.sum(F.when(cond(i), F.col("tf"))).alias(f"tf{i}"))
+            aggs.append(F.max(F.when(cond(i), F.col("dl"))).alias(f"dl{i}"))
+            aggs.append(
+                F.max(F.when(cond(i), F.lit(1 << i)).otherwise(F.lit(0)))
+                .cast("long").alias(f"m{i}")
+            )
+        per_doc = decoded.groupBy("doc_id").agg(*aggs).withColumn(
+            "mask",
+            _functools_reduce(lambda a, b: a + b,
+                              [F.col(f"m{i}") for i in range(len(keys))]),
+        ).persist()
+        self._cached.append(per_doc)
+
+        # one tiny job: the mask histogram materializes the persisted agg
+        # and yields BOTH per-key df (for idf) and the observed classes
+        # the driver-side fold runs over
+        hist = per_doc.groupBy("mask").agg(F.count(F.lit(1)).alias("n")).collect()
+        observed = {r["mask"]: r["n"] for r in hist}
+        df_by_key = [
+            sum(n for m, n in observed.items() if (m >> i) & 1)
+            for i in range(len(keys))
+        ]
+
+        state = self._mask_reduce(q, None, observed, df_by_key, idx,
+                                  term_identity)
+        if state is None or not state[0]:
+            return self.spark.range(0).select(
+                F.col("id").alias("doc_id"), F.lit(0.0).alias("score")
+            )
+        masks, S = state
+        if len(masks) > self._MASK_MAX_CLASSES:
+            return None  # pathological; iterated-join fold handles it
+
+        stats = self.stats()
+        empty = {"n_docs": 0, "avgdl": 1.0}
+        w = {}
+        for (f, tok), i in idx.items():
+            if not df_by_key[i]:
+                continue
+            st = stats.get(f, empty)
+            idf = self.idf(st["n_docs"], df_by_key[i])
+            avgdl = st["avgdl"] if st["n_docs"] else 1.0
+            tf_d = F.col(f"tf{i}").cast("double")
+            dl_d = F.col(f"dl{i}").cast("double")
+            denom = tf_d + F.lit(K1) * (
+                F.lit(1.0 - BB) + F.lit(BB) * dl_d / F.lit(avgdl)
+            )
+            w[i] = F.lit(idf) * (tf_d / denom)
+
+        # score per mask class = the fold's addition sequence, left-assoc
+        # (same float64 op order as the oracle / join fold)
+        score = F.lit(0.0)
+        for m in sorted(masks):
+            terms_sum = _functools_reduce(
+                lambda a, b: a + b, [w[i] for i in S[m]]
+            ) if S[m] else F.lit(0.0)
+            score = F.when(F.col("mask") == m, terms_sum).otherwise(score)
+        return (
+            per_doc.filter(F.col("mask").isin([int(m) for m in masks]))
+            .select("doc_id", score.alias("score"))
+        )
+
+    def _mask_merge(self, state, incoming, op: str):
+        """Reducer.cs:86-149 over mask classes (exact twin of _merge with
+        DataFrames replaced by (masks, S) where S[m] is the ordered tuple
+        of term-instance key indices whose weights sum into the score)."""
+        if state is None or not state[0]:
+            if op == "not":
+                return state
+            return incoming
+        masks, S = state
+        imasks, iS = incoming
+        if op == "and":
+            keep = masks & imasks
+            return (keep, {m: S[m] + iS[m] for m in keep})
+        if op == "or":
+            return (
+                masks,
+                {m: S[m] + iS[m] if m in imasks else S[m] for m in masks},
+            )
+        keep = masks - imasks
+        return (keep, {m: S[m] for m in keep})
+
+    def _mask_reduce(self, q: Query, state, observed: dict, df_by_key: list,
+                     idx: dict, term_identity: str):
+        """_reduce_query over mask classes — identical structure."""
+        query_state = None
+        matched_any = False
+        for t in q.terms:
+            tkey = t.token if term_identity == "surface" else chars_key_py(t.token)
+            i = idx.get((t.field, tkey))
+            if i is None or df_by_key[i] == 0:
+                continue  # unmatched term skipped (Reducer.cs:88-89)
+            matched_any = True
+            tmasks = {m for m in observed if (m >> i) & 1}
+            term_mf = (tmasks, {m: (i,) for m in tmasks})
+            if q.op == "not":
+                # subtraction set: union of the clause's postings; scores
+                # are irrelevant (only removal uses it)
+                if query_state is None:
+                    query_state = term_mf
+                else:
+                    u = query_state[0] | tmasks
+                    query_state = (u, {m: () for m in u})
+            else:
+                query_state = self._mask_merge(query_state, term_mf, t.op)
+        if matched_any:
+            state = self._mask_merge(state, query_state, q.op)
+        elif q.op == "and" and state is not None:
+            # empty clause dict AND-merged clears the result
+            # (Reducer.cs:24-39) — mirrors _reduce_query/reference.py
+            state = (set(), {})
+        if q.and_q is not None:
+            state = self._mask_reduce(q.and_q, state, observed, df_by_key,
+                                      idx, term_identity)
+        if q.or_q is not None:
+            state = self._mask_reduce(q.or_q, state, observed, df_by_key,
+                                      idx, term_identity)
+        if q.not_q is not None:
+            state = self._mask_reduce(q.not_q, state, observed, df_by_key,
+                                      idx, term_identity)
+        return state
 
     def _term_df(self, scored: DataFrame, field: str, tkey: str) -> DataFrame:
         return scored.filter(

@@ -164,6 +164,108 @@ def transcripts_df_distributed(spark, n_convs: int, max_turns: int = 12,
     )
 
 
+WAND_TOKEN = "wandhot"
+WAND_TOKEN2 = "wandwarm"  # co-bursts with WAND_TOKEN (multi-term pruning)
+
+
+def transcripts_df_zipf(spark, n_convs: int, max_turns: int = 3,
+                        partitions: int | None = None,
+                        burst_every: int = 50, burst_frac: float = 1 / 3,
+                        burst_rep: int = 6, hot_prob: float = 0.2):
+    """Zipf-scored corpus for evidencing block-max WAND pruning.
+
+    The uniform bench corpus gives every block the same upper bound, so
+    WAND's exact pruning never engages (correct but unobservable).  This
+    fixture makes block bounds DIFFER the way real corpora do:
+
+    * word ranks are Zipf-ish (rank = floor(V^u), p(r) ~ 1/r), so df is
+      skewed across the vocabulary;
+    * doc lengths vary 4..16 tokens (dl spread -> per-block min_dl and
+      score denominators differ);
+    * the probe token ``wandhot`` appears once in ~hot_prob of all turns
+      (every block matches) but BURSTS (tf=burst_rep) in a slice of early
+      conversations (id % burst_every == 7, id < n_convs*burst_frac) —
+      topic-burstiness concentrated in a doc_id range, exactly the shape
+      block-max metadata exploits: late blocks' ub stays below the theta
+      set by the bursty blocks and are pruned without decoding.
+
+    Deterministic, generated entirely with JVM expressions (no driver
+    rows) like transcripts_df_distributed."""
+    from pyspark.sql import functions as F
+
+    vocab = FRUIT_WORDS + FILLER_WORDS
+    v = F.array(*[F.lit(w) for w in vocab])
+    nv = len(vocab)
+    max_words = 16
+
+    base = spark.range(
+        0, n_convs, 1, partitions or spark.sparkContext.defaultParallelism
+    )
+    base = base.select(
+        F.col("id"),
+        F.format_string("conv%08d", F.col("id")).alias("conv_id"),
+        (F.lit(1) + (F.col("id") * F.lit(2654435761)) % F.lit(max_turns)).alias(
+            "n_turns"
+        ),
+    )
+    turns = base.select(
+        "id", "conv_id",
+        F.explode(F.sequence(F.lit(0), F.col("n_turns") - 1)).alias("turn_idx"),
+    )
+    h = F.xxhash64(F.col("id"), F.col("turn_idx"))
+
+    def u01(j: int):
+        return F.pmod(
+            F.xxhash64(F.col("id"), F.col("turn_idx"), F.lit(j)), F.lit(1000000)
+        ) / F.lit(1000000.0)
+
+    def zipf_word(j: int):
+        rank = F.least(
+            F.floor(F.pow(F.lit(float(nv)), u01(j))).cast("int"), F.lit(nv)
+        )
+        return F.element_at(v, rank)
+
+    words = F.array(*[zipf_word(j) for j in range(max_words)])
+    # dl spread: 4..16 base tokens, quadratic skew toward short docs
+    n_words = (F.lit(4) + F.floor(F.lit(12.0) * u01(99) * u01(99))).cast("int")
+    text = F.concat_ws(" ", F.slice(words, F.lit(1), n_words))
+    is_burst = (
+        (F.pmod(F.col("id"), F.lit(burst_every)) == 7)
+        & (F.col("id") < F.lit(int(n_convs * burst_frac)))
+        & (F.col("turn_idx") == 0)
+    )
+    has_hot = F.pmod(h, F.lit(1000)) < F.lit(int(hot_prob * 1000))
+    has_warm = F.pmod(h, F.lit(997)) < F.lit(int(hot_prob * 500))
+    burst_suffix = F.concat(
+        F.repeat(F.lit(" " + WAND_TOKEN), burst_rep),
+        F.repeat(F.lit(" " + WAND_TOKEN2), max(1, burst_rep // 2)),
+    )
+    text = (
+        F.when(is_burst, F.concat(text, burst_suffix))
+        .when(has_hot, F.concat(text, F.lit(" " + WAND_TOKEN)))
+        .otherwise(text)
+    )
+    text = F.when(
+        has_warm & ~is_burst, F.concat(text, F.lit(" " + WAND_TOKEN2))
+    ).otherwise(text)
+    role = F.element_at(
+        F.array(*[F.lit(r) for r in ROLES]),
+        (F.pmod(F.col("id") + F.col("turn_idx"), F.lit(3)) + 1).cast("int"),
+    )
+    ts = F.timestamp_seconds(
+        F.unix_timestamp(F.lit("2025-01-01 00:00:00"))
+        + F.col("id") * 3600 + F.col("turn_idx") * 7
+    )
+    return turns.select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        role.alias("role"),
+        text.alias("text"),
+        F.lit("").alias("tool"),
+        ts.alias("ts"),
+    )
+
+
 def transcripts_df(spark, n_convs: int = 20, max_turns: int = 6, **kw):
     """Spark DataFrame of the fixture with the input-hint schema."""
     rows = gen_transcripts(n_convs=n_convs, max_turns=max_turns, **kw)

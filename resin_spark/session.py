@@ -65,6 +65,12 @@ def make_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # dimension joins (conv_dim in the build, top-k fetch in queries)
+        # should broadcast well past the 10 MB default; AQE checks the
+        # RUNTIME size, so an over-threshold dim still degrades to SMJ —
+        # stage profiling showed conv_dim at ~13 MB forcing a full-corpus
+        # sort-merge shuffle in the docs path (scripts/stage_breakdown.py)
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 << 20))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Arrow input batches are bounded two ways: a high record cap for
         # narrow occurrence rows (the merge-encoder wants big batches) and

@@ -125,17 +125,25 @@ def bucket_py(v: list[float], planes: list[list[int]]) -> int:
 def ann_topk(df: DataFrame, qvec: list[float], k: int = 10,
              key: str = "vec_id", vec: str = "embedding",
              n_planes: int = 8,
-             multiprobe: bool = True) -> DataFrame:
-    """ANN top-k: probe the query's hyperplane bucket (+ Hamming-1
-    neighbors when multiprobe) with exact cosine re-ranking inside.
+             multiprobe: bool = True, probe_hamming: int = 1) -> DataFrame:
+    """ANN top-k: probe the query's hyperplane bucket plus all buckets
+    within Hamming distance `probe_hamming` (when multiprobe), with exact
+    cosine re-ranking inside.  Scan fraction ~= C(D,<=H)/2^D: D=8, H=1
+    scans ~3.5% of the data (recall@10 ~0.75 on clustered corpora), H=2
+    scans ~14.5% (recall ~0.9) — recall/cost dial, measured in bench.py.
     At 100 TB the table is written bucketed by `bucket` so this becomes a
-    partition-pruned scan of ~(1+D)/2^D of the data."""
+    partition-pruned scan."""
     dim = len(qvec)
     planes = int_planes(dim, n_planes)
     qb = bucket_py([float(x) for x in qvec], planes)
-    probes = [qb] + ([qb ^ (1 << i) for i in range(n_planes)] if multiprobe else [])
+    probes = {qb}
+    if multiprobe and probe_hamming >= 1:
+        probes |= {qb ^ (1 << i) for i in range(n_planes)}
+    if multiprobe and probe_hamming >= 2:
+        probes |= {qb ^ (1 << i) ^ (1 << j)
+                   for i in range(n_planes) for j in range(i + 1, n_planes)}
     bucketed = df.withColumn("bucket", bucket_col(F.col(vec), planes))
-    cand = bucketed.filter(F.col("bucket").isin(probes))
+    cand = bucketed.filter(F.col("bucket").isin(sorted(probes)))
     return cosine_topk(cand, qvec, k=k, key=key, vec=vec)
 
 

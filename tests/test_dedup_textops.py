@@ -207,6 +207,32 @@ def test_ann_topk_recalls_neighbors(spark, embeddings):
     assert set(exact[:2]) <= set(approx)
 
 
+def test_ann_recall_floor(spark):
+    """ann_topk must recall >=0.8 of the true top-10 on a clustered
+    corpus with the tuned config (12 planes, Hamming<=2 multiprobe,
+    ~1.9% scan fraction) — measured ~0.91 in bench.py."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    centers = rng.standard_normal((10, 32)).astype("float32") * 2.0
+    pts = centers[rng.integers(0, 10, 800)] + \
+        rng.standard_normal((800, 32)).astype("float32") * 0.6
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(pts)],
+        "vec_id long, embedding array<float>",
+    ).persist()
+    df.count()
+    hits = 0
+    for qi in range(5):
+        qv = [float(x) for x in pts[qi * 37 % 800]]
+        exact = {r["vec_id"] for r in similarity.cosine_topk(df, qv, k=10).collect()}
+        ann = {r["vec_id"] for r in similarity.ann_topk(
+            df, qv, k=10, n_planes=12, probe_hamming=2).collect()}
+        hits += len(exact & ann)
+    df.unpersist()
+    assert hits / 50 >= 0.8, hits / 50
+
+
 def test_cosine_neardup_pairs(spark, embeddings):
     df, _ = embeddings
     pairs = {(r["id_a"], r["id_b"]) for r in

@@ -32,6 +32,35 @@ def test_wand_equals_exact(spark, engine, tokens, mode):
     assert stats["blocks_scored"] <= stats["blocks_total"]
 
 
+def test_wand_prunes_on_zipf_corpus(spark, tmp_path):
+    """On a corpus with real block-bound variance (Zipf df, dl spread,
+    doc_id-localized term bursts — fixtures.transcripts_df_zipf) the
+    block-max bounds must actually PRUNE: fewer than half the matched
+    blocks are decoded, while the top-k stays rank- and score-identical
+    to the exhaustive scorer.  Mirrors the exactness contract of the
+    reference's skip-tree traversal
+    (/root/reference/src/Sir.VectorSpace/ColumnReader.cs:168-179)."""
+    from resin_spark import build as B
+    from resin_spark.fixtures import transcripts_df_zipf
+
+    root = str(tmp_path / "zipf_idx")
+    t = transcripts_df_zipf(spark, n_convs=64000, max_turns=3)
+    B.build_index(spark, t, root, fields=("text",))
+
+    for tokens, mode in ([["wandhot"], "or"],
+                         [["wandhot", "wandwarm"], "or"],
+                         [["wandhot", "wandwarm"], "and"]):
+        got, stats = wand.wand_topk(spark, root, tokens, k=10, mode=mode)
+        want, _ = wand.wand_topk(spark, root, tokens, k=10, mode=mode,
+                                 exact=True)
+        assert [d for d, _ in got] == [d for d, _ in want]
+        for (_, s1), (_, s2) in zip(got, want):
+            assert math.isclose(s1, s2, rel_tol=0, abs_tol=1e-12)
+        assert stats["blocks_total"] >= 16
+        assert stats["blocks_scored"] < 0.5 * stats["blocks_total"], (
+            tokens, mode, stats)
+
+
 def test_wand_disjunction_matches_python(spark, engine, oracle):
     """Full-disjunction semantics vs a brute-force python computation."""
     tokens = ["apple", "banana"]
