@@ -31,11 +31,21 @@ def truncate(spark: SparkSession, root: str) -> None:
 
 
 def truncate_index(spark: SparkSession, root: str) -> None:
-    """Drop only the index tables, keep docs — SessionFactory.cs:79-110."""
+    """Drop only the index tables, keep docs — SessionFactory.cs:79-110.
+    If compaction versioned the artifacts, the current docs tree is first
+    moved back to the plain (version-0) dir so it survives the pointer
+    teardown."""
     from resin_spark import build as B
 
-    for p in (B.p_postings(root), B.p_doclens(root), B.p_stats(root)):
-        _rm(spark, p)
+    cur_docs = B.p_docs(root)
+    plain_docs = f"{root}/docs"
+    if cur_docs != plain_docs and B._exists(spark, cur_docs):
+        _rm(spark, plain_docs)
+        fs, jvm = B._hadoop_fs(spark)
+        Path = jvm.org.apache.hadoop.fs.Path
+        fs.rename(Path(cur_docs), Path(plain_docs))
+    B._gc_versions(spark, root, keep=set(),
+                   plain_names=("postings", "doclens", "stats"))
 
 
 def save_as(

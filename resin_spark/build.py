@@ -100,8 +100,91 @@ class _arrow_batch_rows:
 
 
 # ---------------------------------------------------------------- paths
+#
+# Versioned artifacts + pointer commit (Iceberg-style snapshot swap for
+# compaction).  Fresh builds write the plain dirs (= version 0, no
+# pointer file).  ``compact`` writes a complete NEW tree under
+# ``<name>__v{N}`` dirs and then COMMITS by creating ``_ptr_{N}.json`` —
+# file creation is atomic, and readers resolve the highest-numbered
+# pointer, so a query concurrent with compaction sees the old tree or
+# the new tree, never a half-renamed directory (the flaw of the previous
+# two-rename swap).  The previous version's dirs are retained until the
+# NEXT compact GCs them, covering readers already holding file lists.
+_VERSIONED = ("docs", "postings", "doclens", "stats")
+
+
+def _current_pointer(root: str) -> tuple[int, dict]:
+    """(version, artifact-dir mapping) from the newest _ptr file."""
+    import json as _json
+    import os as _os
+
+    local = root[len("file://"):] if root.startswith("file://") else root
+    if "://" not in local:
+        import glob as _glob
+
+        ptrs = sorted(_glob.glob(_os.path.join(local, "_ptr_*.json")))
+        if not ptrs:
+            return 0, {}
+        with open(ptrs[-1]) as f:
+            doc = _json.load(f)
+        return doc["version"], doc["dirs"]
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    fs, jvm = _hadoop_fs(spark)
+    Path = jvm.org.apache.hadoop.fs.Path
+    if not fs.exists(Path(root)):
+        return 0, {}
+    best = None
+    for st in fs.listStatus(Path(root)):
+        nm = st.getPath().getName()
+        if nm.startswith("_ptr_") and nm.endswith(".json"):
+            if best is None or nm > best:
+                best = nm
+    if best is None:
+        return 0, {}
+    stream = fs.open(Path(f"{root}/{best}"))
+    try:
+        data = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    finally:
+        stream.close()
+    doc = _json.loads(data.decode())
+    return doc["version"], doc["dirs"]
+
+
+def _write_pointer(spark, root: str, version: int, dirs: dict) -> None:
+    """Commit a new artifact mapping: create _ptr_{version}.json (atomic
+    create-new; never overwrites an existing pointer)."""
+    import json as _json
+
+    payload = _json.dumps({"version": version, "dirs": dirs}).encode()
+    name = f"{root}/_ptr_{version:08d}.json"
+    local = name[len("file://"):] if name.startswith("file://") else name
+    if "://" not in local:
+        import os as _os
+        import uuid as _uuid
+
+        tmp = f"{local}.tmp-{_uuid.uuid4().hex}"
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        _os.rename(tmp, local)  # atomic create of the final name
+        return
+    fs, jvm = _hadoop_fs(spark)
+    Path = jvm.org.apache.hadoop.fs.Path
+    out = fs.create(Path(name), False)  # fail, don't overwrite
+    try:
+        out.write(bytearray(payload))
+    finally:
+        out.close()
+
+
+def _artifact(root: str, name: str) -> str:
+    _, dirs = _current_pointer(root)
+    return f"{root}/{dirs.get(name, name)}"
+
+
 def p_docs(root: str) -> str:
-    return f"{root}/docs"
+    return _artifact(root, "docs")
 
 
 def p_conv_dim(root: str) -> str:
@@ -109,15 +192,15 @@ def p_conv_dim(root: str) -> str:
 
 
 def p_postings(root: str) -> str:
-    return f"{root}/postings"
+    return _artifact(root, "postings")
 
 
 def p_doclens(root: str) -> str:
-    return f"{root}/doclens"
+    return _artifact(root, "doclens")
 
 
 def p_stats(root: str) -> str:
-    return f"{root}/stats"
+    return _artifact(root, "stats")
 
 
 def p_lineage(root: str) -> str:
@@ -708,39 +791,72 @@ def compact(spark: SparkSession, root: str) -> None:
     """Resin `optimize` (I12): merge all segments into segment 0.
 
     Decodes all blocks, re-groups by (field, term, block_id) across
-    segments, re-encodes, and atomically swaps the postings dir.  Docs /
+    segments, re-encodes into a NEW versioned tree, and commits by
+    atomically creating the next pointer file — concurrent readers see
+    the old or the new snapshot, never a missing dir (the previous
+    version's dirs are GC'd only by the compact after this one).  Docs /
     doclens / stats are compacted by plain re-partition-by-key rewrite."""
+    ver, _ = _current_pointer(root)
+    new_ver = ver + 1
+    sfx = f"__v{new_ver}"
+    new_dirs = {}
+
     post = read_postings(spark, root)
     dec = decoded_postings(post).drop("segment")
     blocks = postings_blocks(dec)
-    tmp = f"{p_postings(root)}__compact"
     # this action streams BLOCK rows through the decode UDF under the
     # same conf as the merge-encoder; the byte cap in _arrow_batch_rows
     # bounds the decode batches (a dense universal-term block row decodes
     # to hundreds of KB) while the encoder still gets big record batches
     with _arrow_batch_rows(spark):
         blocks.write.mode("overwrite").option("compression", "zstd").parquet(
-            f"{tmp}/segment=0"
+            f"{root}/postings{sfx}/segment=0"
         )
-    _swap_dir(spark, tmp, p_postings(root))
+    new_dirs["postings"] = f"postings{sfx}"
 
-    for sub in (p_doclens, p_stats, p_docs):
-        if sub is p_doclens and not _exists(spark, p_doclens(root)):
+    for name, cur in (("doclens", p_doclens), ("stats", p_stats), ("docs", p_docs)):
+        if name == "doclens" and not _exists(spark, cur(root)):
             continue  # doclens is an opt-in artifact
-        df = spark.read.option("basePath", sub(root)).parquet(f"{sub(root)}/segment=*")
-        tmp2 = f"{sub(root)}__compact"
-        if sub is p_stats:
+        df = spark.read.option("basePath", cur(root)).parquet(f"{cur(root)}/segment=*")
+        if name == "stats":
             out = df.groupBy("field").agg(
                 F.sum("total_tokens").alias("total_tokens"),
                 F.sum("n_postings").alias("n_postings"),
                 F.sum("n_docs").alias("n_docs"),
-            )
-            out.coalesce(1).write.mode("overwrite").parquet(f"{tmp2}/segment=0")
+            ).coalesce(1)
         else:
-            df.drop("segment").write.mode("overwrite").parquet(f"{tmp2}/segment=0")
-        _swap_dir(spark, tmp2, sub(root))
+            out = df.drop("segment")
+        out.write.mode("overwrite").parquet(f"{root}/{name}{sfx}/segment=0")
+        new_dirs[name] = f"{name}{sfx}"
 
+    _write_pointer(spark, root, new_ver, new_dirs)  # THE commit point
+    _gc_versions(spark, root, keep={ver, new_ver})
     _append_lineage(spark, root, 0, "compact", 0, 0.0)
+
+
+def _gc_versions(spark, root: str, keep: set[int],
+                 names: tuple = _VERSIONED,
+                 plain_names: tuple | None = None) -> None:
+    """Delete artifact dirs + pointer files of versions not in ``keep``
+    (version 0 = the plain unversioned dirs; ``plain_names`` restricts
+    which plain dirs are eligible — truncate_index keeps plain docs)."""
+    import re as _re
+
+    plain = names if plain_names is None else plain_names
+    fs, jvm = _hadoop_fs(spark)
+    Path = jvm.org.apache.hadoop.fs.Path
+    if not fs.exists(Path(root)):
+        return
+    for st in fs.listStatus(Path(root)):
+        nm = st.getPath().getName()
+        m = _re.fullmatch(r"(%s)__v(\d+)" % "|".join(names), nm)
+        if m and int(m.group(2)) not in keep:
+            fs.delete(st.getPath(), True)
+        elif nm in plain and 0 not in keep:
+            fs.delete(st.getPath(), True)
+        m2 = _re.fullmatch(r"_ptr_(\d+)\.json", nm)
+        if m2 and int(m2.group(1)) not in keep:
+            fs.delete(st.getPath(), True)
 
 
 # ---------------------------------------------------------------- readers
@@ -787,19 +903,3 @@ def _rm(spark, path: str) -> None:
         fs.delete(p, True)
 
 
-def _swap_dir(spark, src: str, dst: str) -> None:
-    """Rename-aside swap: the previous contents move to ``dst__old``
-    before ``src`` takes their place, so a crash between the two renames
-    leaves a recoverable copy (plain delete-then-rename would destroy
-    the live directory on a mid-swap failure)."""
-    fs, jvm = _hadoop_fs(spark)
-    Path = jvm.org.apache.hadoop.fs.Path
-    old = f"{dst}__old"
-    if fs.exists(Path(old)):
-        fs.delete(Path(old), True)
-    had_dst = fs.exists(Path(dst))
-    if had_dst:
-        fs.rename(Path(dst), Path(old))
-    fs.rename(Path(src), Path(dst))
-    if had_dst:
-        fs.delete(Path(old), True)

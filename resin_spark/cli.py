@@ -43,7 +43,13 @@ def cmd_build(args) -> int:
     from resin_spark.build import build_index, resume_build
 
     spark = _session(args)
-    t = spark.read.parquet(args.input)
+    if args.format == "wet":
+        from resin_spark.sources import read_wet_docs, transcripts_from_docs
+
+        t = transcripts_from_docs(read_wet_docs(spark, args.input),
+                                  id_col="url")
+    else:
+        t = spark.read.parquet(args.input)
     fn = resume_build if args.resume else build_index
     out = fn(spark, t, args.root, n_segments=args.segments)
     print(json.dumps(out))
@@ -55,6 +61,15 @@ def cmd_search(args) -> int:
 
     spark = _session(args)
     eng = SearchEngine(spark, args.root)
+    if args.model == "resin":
+        # Resin's native char-bag cosine ranking (fuzzy/anagram matching)
+        from resin_spark.resin_score import resin_topk
+
+        docs = eng.documents().select("doc_id", "conv_id", "turn_idx", "text")
+        out = resin_topk(eng, args.q, k=args.k)
+        out.join(docs, "doc_id").orderBy("score", ascending=False).show(
+            args.k, truncate=60)
+        return 0
     q = json.loads(args.q)
     eng.search(q, k=args.k, skip=args.skip).show(args.k, truncate=60)
     return 0
@@ -98,12 +113,18 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--root", required=True)
     b.add_argument("--segments", type=int, default=1)
     b.add_argument("--resume", action="store_true")
+    b.add_argument("--format", choices=["parquet", "wet"], default="parquet",
+                   help="input format: parquet transcripts or CommonCrawl WET")
 
     s = sub.add_parser("search")
     s.add_argument("--root", required=True)
-    s.add_argument("--q", required=True, help='JSON query, e.g. {"and": {"text": "banana"}}')
+    s.add_argument("--q", required=True,
+                   help='JSON query, e.g. {"and": {"text": "banana"}}; '
+                        "plain text when --model resin")
     s.add_argument("--k", type=int, default=10)
     s.add_argument("--skip", type=int, default=0)
+    s.add_argument("--model", choices=["bm25", "resin"], default="bm25",
+                   help="bm25 (north rule) or resin char-bag cosine")
 
     o = sub.add_parser("optimize")
     o.add_argument("--root", required=True)

@@ -351,18 +351,42 @@ class SearchEngine:
             "mask",
             _functools_reduce(lambda a, b: a + b,
                               [F.col(f"m{i}") for i in range(len(keys))]),
-        ).persist()
-        self._cached.append(per_doc)
+        )
 
-        # one tiny job: the mask histogram materializes the persisted agg
-        # and yields BOTH per-key df (for idf) and the observed classes
-        # the driver-side fold runs over
-        hist = per_doc.groupBy("mask").agg(F.count(F.lit(1)).alias("n")).collect()
-        observed = {r["mask"]: r["n"] for r in hist}
-        df_by_key = [
-            sum(n for m, n in observed.items() if (m >> i) & 1)
-            for i in range(len(keys))
-        ]
+        df_by_key = None
+        if term_identity == "surface":
+            # df off the block metadata (no posting decode)
+            df_rows = (
+                matched.groupBy("field", F.col(key_col).alias("term"))
+                .agg(F.sum("df_block").alias("df"))
+                .collect()
+            )
+            df_map = {(r["field"], r["term"]): r["df"] for r in df_rows}
+            df_by_key = [df_map.get(k, 0) for k in keys]
+
+        if (df_by_key is not None and len(keys) <= 12
+                and self._fold_is_static(q, df_by_key, idx, term_identity)):
+            # STATIC fold (no and/or merge ever lands on a result whose
+            # emptiness is data-dependent — covers 2-term ANDs, pure ORs,
+            # NOT-subtraction chains): enumerate the full mask space, no
+            # histogram job.  Query = df-metadata job + top-k job, same
+            # job count as a single-term query.
+            observed = dict.fromkeys(range(1, 1 << len(keys)))
+        else:
+            per_doc = per_doc.persist()
+            self._cached.append(per_doc)
+            # one tiny job: the mask histogram materializes the persisted
+            # agg and yields the observed classes the fold runs over (and
+            # per-key df for charbag mode, where metadata df would count
+            # pre-merge anagram postings)
+            hist = per_doc.groupBy("mask").agg(
+                F.count(F.lit(1)).alias("n")).collect()
+            observed = {r["mask"]: r["n"] for r in hist}
+            if df_by_key is None:
+                df_by_key = [
+                    sum(n for m, n in observed.items() if (m >> i) & 1)
+                    for i in range(len(keys))
+                ]
 
         state = self._mask_reduce(q, None, observed, df_by_key, idx,
                                   term_identity)
@@ -402,6 +426,51 @@ class SearchEngine:
             per_doc.filter(F.col("mask").isin([int(m) for m in masks]))
             .select("doc_id", score.alias("score"))
         )
+
+    def _fold_is_static(self, q: Query, df_by_key: list, idx: dict,
+                        term_identity: str) -> bool:
+        """True when the fold's branch choices never depend on whether an
+        intermediate RESULT happens to be empty on this data — i.e. no
+        and/or merge lands on a state whose emptiness is data-dependent.
+        Mirrors _mask_reduce over an emptiness lattice:
+        N(onempty)/E(mpty)/U(nknown).  A static fold can be enumerated
+        over the full mask space with no histogram job."""
+        ok = True
+
+        def merge(sym, sym_in, op):
+            nonlocal ok
+            if sym is None or sym == "E":
+                return sym if op == "not" else sym_in
+            if sym == "U" and op in ("and", "or"):
+                ok = False  # insert-all-vs-merge branch is data-dependent
+            if op == "and":
+                return "E" if sym_in == "E" else "U"
+            if op == "or":
+                return sym
+            return "U"  # not-merge may empty the result (but same branch)
+
+        def reduce_q(q: Query, sym):
+            qs = None
+            matched_any = False
+            for t in q.terms:
+                tkey = (t.token if term_identity == "surface"
+                        else chars_key_py(t.token))
+                i = idx.get((t.field, tkey))
+                if i is None or df_by_key[i] == 0:
+                    continue
+                matched_any = True
+                qs = "N" if q.op == "not" else merge(qs, "N", t.op)
+            if matched_any:
+                sym = merge(sym, qs, q.op)
+            elif q.op == "and" and sym is not None:
+                sym = "E"
+            for child in (q.and_q, q.or_q, q.not_q):
+                if child is not None:
+                    sym = reduce_q(child, sym)
+            return sym
+
+        reduce_q(q, None)
+        return ok
 
     def _mask_merge(self, state, incoming, op: str):
         """Reducer.cs:86-149 over mask classes (exact twin of _merge with

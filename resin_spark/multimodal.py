@@ -1,12 +1,15 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing is real and tested — schema, partition-friendly
-layout, Arrow-batched mapInPandas pipelines with bounded batch sizes —
-while the actual media decoding is stubbed (the image/audio libraries are
-not in this container): ``decode_image``/``decode_audio`` raise
+layout, Arrow-batched mapInPandas pipelines with bounded batch sizes.
+Decoding: the two ubiquitous container formats have REAL pure-stdlib
+decoders (``decode_png``: zlib inflate + scanline unfilter for 8-bit
+gray/RGB/RGBA/palette; ``decode_wav``: the ``wave`` module for 8/16/32-bit
+PCM), dispatched by magic bytes.  Exotic formats (JPEG, mp4, ...) would
+need libraries not present in this container: they raise
 NotImplementedError unless ``fake=True``, in which case a deterministic
 fake decoder (seeded by the content hash) produces stable features so the
-pipeline shape is exercisable end-to-end.
+pipeline shape stays exercisable end-to-end for every modality.
 
 Scale notes: media bytes ride in a ``binary`` column next to metadata;
 at 100 TB you partition by (modality, dt) and keep row-group sizes small
@@ -52,12 +55,117 @@ FEATURE_SCHEMA = StructType(
 )
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(content: bytes) -> np.ndarray:
+    """Pure-stdlib PNG decode (zlib inflate + per-scanline unfilter) to an
+    HxWx3 uint8 array.  Supports bit depth 8, color types 0 (gray),
+    2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), non-interlaced —
+    the overwhelmingly common cases; anything else raises."""
+    import struct
+
+    if content[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos, idat, ihdr, plte = 8, [], None, None
+    while pos + 8 <= len(content):
+        ln, typ = struct.unpack(">I4s", content[pos:pos + 8])
+        pos += 8
+        data = content[pos:pos + ln]
+        pos += ln + 4  # payload + CRC
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace:
+        raise NotImplementedError("only 8-bit non-interlaced PNG supported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    out = np.empty((h, stride), np.uint8)
+    prev = bytearray(stride)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        line = bytearray(raw[pos + 1:pos + 1 + stride])
+        pos += stride + 1
+        if ftype == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                c = prev[i - channels] if i >= channels else 0
+                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad PNG filter {ftype}")
+        out[y] = np.frombuffer(bytes(line), np.uint8)
+        prev = line
+    img = out.reshape(h, w, channels)
+    if color == 3:  # palette lookup
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        return pal[img[:, :, 0]]
+    if channels == 1:
+        return np.repeat(img, 3, axis=2)
+    if channels == 2:  # gray+alpha -> replicate gray
+        return np.repeat(img[:, :, :1], 3, axis=2)
+    return img[:, :, :3]
+
+
+def decode_wav(content: bytes) -> np.ndarray:
+    """Stdlib `wave` decode of PCM WAV to a mono float32 waveform in
+    [-1, 1] (multi-channel mean-pooled)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(content)) as wv:
+        ch = wv.getnchannels()
+        sw = wv.getsampwidth()
+        raw = wv.readframes(wv.getnframes())
+    if sw == 2:
+        arr = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
+    elif sw == 1:
+        arr = (np.frombuffer(raw, "u1").astype(np.float32) - 128.0) / 128.0
+    elif sw == 4:
+        arr = np.frombuffer(raw, "<i4").astype(np.float32) / 2147483648.0
+    else:
+        raise NotImplementedError(f"{sw * 8}-bit WAV unsupported")
+    if ch > 1:
+        arr = arr.reshape(-1, ch).mean(axis=1)
+    return arr
+
+
 def decode_image(content: bytes, fake: bool = False) -> np.ndarray:
-    """Decode an image to an HxWx3 array.  STUB: real decode needs an
-    imaging library not present in this environment."""
+    """Decode an image to an HxWx3 array.  PNG decodes for real (stdlib);
+    other formats need libraries absent from this container — they use
+    the deterministic fake when ``fake=True``, else raise."""
+    if content[:8] == _PNG_MAGIC:
+        return decode_png(content)
     if not fake:
         raise NotImplementedError(
-            "image decode requires an imaging library (PIL/cv2) — "
+            "non-PNG image decode requires an imaging library (PIL/cv2) — "
             "not available in this container; use fake=True for the "
             "deterministic test double"
         )
@@ -66,11 +174,14 @@ def decode_image(content: bytes, fake: bool = False) -> np.ndarray:
 
 
 def decode_audio(content: bytes, fake: bool = False) -> np.ndarray:
-    """Decode audio to a 1-D float waveform.  STUB (see decode_image)."""
+    """Decode audio to a 1-D float waveform.  RIFF/WAVE decodes for real
+    (stdlib `wave`); other formats fall back like decode_image."""
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        return decode_wav(content)
     if not fake:
         raise NotImplementedError(
-            "audio decode requires an audio library (soundfile/librosa) — "
-            "use fake=True for the deterministic test double"
+            "non-WAV audio decode requires an audio library "
+            "(soundfile/librosa) — use fake=True for the test double"
         )
     rng = np.random.default_rng(zlib.crc32(content))
     return rng.standard_normal(64).astype(np.float32)

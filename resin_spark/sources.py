@@ -51,13 +51,41 @@ def read_json_docs(
 
 
 def read_text_docs(spark: SparkSession, path: str) -> DataFrame:
-    """S6-style: plain text (optionally gzipped), one doc per line with a
-    stable line-hash id.  Real WET parsing (multi-line records) would use
-    text + a stateful mapPartitions; out of transcript scope."""
+    """Plain text (optionally gzipped), one doc per line with a stable
+    line-hash id (the simple line-per-doc source)."""
     df = spark.read.text(path)
     return df.select(
         F.xxhash64("value").alias("doc_id"), F.col("value").alias("text")
     ).filter(F.length("text") > 0)
+
+
+def read_wet_docs(spark: SparkSession, path: str) -> DataFrame:
+    """S6: CommonCrawl WET records -> (url, text) docs.
+
+    Faithful to ReadWetFile (/root/reference/src/Sir.CommonCrawl/
+    IndexWetFilesCommand.cs:41-85): a record's url comes from its
+    ``WARC-Target-URI:`` header, its text is the body after the header
+    block, with empty lines dropped; the leading warcinfo record (no
+    target URI — what the reference's ``Skip(15)`` jumps over) is
+    filtered out.
+
+    Spark-first instead of a stateful line parser: reading with
+    ``lineSep="WARC/1.0"`` makes each ROW one whole WARC record (the
+    Hadoop text reader handles delimiters spanning split boundaries, so
+    this stays splittable at 100 TB), and header/body extraction is pure
+    JVM string expressions — no Python in the path."""
+    rec = spark.read.option("lineSep", "WARC/1.0").text(path)
+    url = F.regexp_extract("value", r"WARC-Target-URI:\s*(\S+)", 1)
+    # body = everything after the first blank line; reference drops empty
+    # lines inside the content (content.AppendLine only when non-empty)
+    body = F.element_at(F.split("value", r"\r?\n\r?\n", 2), 2)
+    text = F.array_join(
+        F.filter(F.split(body, r"\r?\n"), lambda x: x != F.lit("")), "\n"
+    )
+    return (
+        rec.select(url.alias("url"), text.alias("text"))
+        .filter((F.col("url") != "") & (F.length("text") > 0))
+    )
 
 
 def transcripts_from_docs(

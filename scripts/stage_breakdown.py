@@ -39,7 +39,10 @@ spark = make_session("local[{cores}]", "stagebd",
 spark.sparkContext.setLogLevel("ERROR")
 warm = transcripts_df_distributed(spark, 2000, {max_turns})
 build_index(spark, warm, {outdir!r} + "/warm_idx")
-t = transcripts_df_distributed(spark, {n_convs}, {max_turns})
+# profile the contract job: indexing a parquet TABLE (matches bench.py)
+transcripts_df_distributed(spark, {n_convs}, {max_turns}).write.mode(
+    "overwrite").parquet({outdir!r} + "/corpus")
+t = spark.read.parquet({outdir!r} + "/corpus")
 t0_epoch = time.time() * 1000
 t0 = time.monotonic()
 out = build_index(spark, t, {outdir!r} + "/idx")
@@ -84,9 +87,6 @@ def parse_log(outdir: str, app_id: str, t0_ms: float) -> dict:
                 t["shuf_w_ms"] += sw.get("Shuffle Write Time", 0) / 1e6
                 t["shuf_r_mb"] += (sr.get("Local Bytes Read", 0)
                                    + sr.get("Remote Bytes Read", 0)) / 1e6
-                t["py_ms"] += sum(
-                    a.get("Update", 0) for a in ev.get("Task Executor Metrics", {}).get("_", [])
-                ) if False else 0
             elif ev.get("Event") == "SparkListenerStageCompleted":
                 si = ev["Stage Info"]
                 sub = si.get("Submission Time")

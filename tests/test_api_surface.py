@@ -79,6 +79,56 @@ def test_parse_flat_executes(engine, oracle):
     assert [g[0] for g in got] == [w[0] for w in want]
 
 
+WET_SAMPLE = (
+    "WARC/1.0\r\n"
+    "WARC-Type: warcinfo\r\n"
+    "Content-Length: 11\r\n"
+    "\r\n"
+    "software: x\r\n"
+    "\r\n"
+    "WARC/1.0\r\n"
+    "WARC-Type: conversion\r\n"
+    "WARC-Target-URI: http://example.com/a\r\n"
+    "Content-Length: 26\r\n"
+    "\r\n"
+    "Hello world.\r\n"
+    "\r\n"
+    "Second line.\r\n"
+    "\r\n"
+    "WARC/1.0\r\n"
+    "WARC-Target-URI: http://example.com/b\r\n"
+    "Content-Length: 18\r\n"
+    "\r\n"
+    "Beta content here.\r\n"
+)
+
+
+def test_sources_wet_records(spark, tmp_path):
+    """Multi-line WET records (S6): one doc per record, url from the
+    header, body with empty lines dropped, warcinfo record skipped —
+    plain and gzipped."""
+    import gzip
+
+    p = tmp_path / "sample.warc.wet"
+    p.write_text(WET_SAMPLE)
+    gz = tmp_path / "sample.warc.wet.gz"
+    gz.write_bytes(gzip.compress(WET_SAMPLE.encode()))
+
+    for path in (p, gz):
+        rows = {r["url"]: r["text"]
+                for r in sources.read_wet_docs(spark, str(path)).collect()}
+        assert rows == {
+            "http://example.com/a": "Hello world.\nSecond line.",
+            "http://example.com/b": "Beta content here.",
+        }, path
+
+    # adapter: WET docs -> transcript shape -> indexable
+    t = sources.transcripts_from_docs(
+        sources.read_wet_docs(spark, str(p)), id_col="url")
+    assert t.columns == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    assert t.count() == 2
+
+
 def test_sources_json_roundtrip(spark, tmp_path):
     import gzip
     import json

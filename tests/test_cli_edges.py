@@ -39,6 +39,30 @@ def test_cli_build_and_search(spark, transcripts, tmp_path, capsys):
     assert cli.main(["truncate", "--root", root]) == 0
 
 
+def test_cli_resin_model_and_wet_build(spark, transcripts, tmp_path, capsys):
+    from tests.test_api_surface import WET_SAMPLE
+
+    src = str(tmp_path / "in")
+    transcripts.write.mode("overwrite").parquet(src)
+    root = str(tmp_path / "idx")
+    assert cli.main(["build", "--input", src, "--root", root]) == 0
+    capsys.readouterr()
+    # resin cosine model accepts plain text, survives a typo
+    assert cli.main(["search", "--root", root, "--q", "applw",
+                     "--model", "resin", "--k", "3"]) == 0
+    assert "apple" in capsys.readouterr().out
+
+    wet = tmp_path / "sample.warc.wet"
+    wet.write_text(WET_SAMPLE)
+    root2 = str(tmp_path / "idx_wet")
+    assert cli.main(["build", "--input", str(wet), "--root", root2,
+                     "--format", "wet"]) == 0
+    built = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert built["turns"] == 2
+    eng = SearchEngine(spark, root2)
+    assert eng.topk({"or": {"text": "beta"}}, k=3)
+
+
 def test_search_unknown_field(engine):
     """A field that was never indexed matches nothing (no exception)."""
     assert engine.topk({"or": {"nosuchfield": "banana"}}, k=5) == []

@@ -45,7 +45,14 @@ def test_segment_invariance(spark, engine, seg_root):
 def test_compaction_invariance(spark, engine, seg_root):
     before = SearchEngine(spark, seg_root)
     results_before = [_results(before, q) for q in QUERIES]
+    # pin pre-compact DataFrames: this emulates a query IN FLIGHT while
+    # compaction commits — the version-pointer commit must leave the old
+    # snapshot's dirs in place (GC happens one compaction later)
+    inflight_postings = before.postings()
+    inflight_n = inflight_postings.count()
     compact(spark, seg_root)
+    # the in-flight reader still resolves its (old) snapshot completely
+    assert inflight_postings.count() == inflight_n
     after = SearchEngine(spark, seg_root)
     # exactly one segment remains
     segs = {r["segment"] for r in after.postings().select("segment").distinct().collect()}
@@ -54,3 +61,42 @@ def test_compaction_invariance(spark, engine, seg_root):
         _assert_same(rb, _results(after, q))
     for q in QUERIES:
         _assert_same(_results(engine, q), _results(after, q))
+
+
+def test_compaction_pointer_commit_and_gc(spark, engine, seg_root):
+    """Version-pointer commit: _ptr files advance, exactly the current +
+    previous versions' dirs exist after each compact, and results stay
+    identical across two compactions."""
+    import glob
+    import os
+
+    from resin_spark import build as B
+
+    # seg_root was compacted by the previous test (v1); compact again
+    compact(spark, seg_root)
+    ver, dirs = B._current_pointer(seg_root)
+    assert ver == 2 and dirs["postings"] == "postings__v2"
+    # v1 retained for in-flight readers; v0 (plain dirs) GC'd
+    assert os.path.isdir(f"{seg_root}/postings__v1")
+    assert not os.path.isdir(f"{seg_root}/postings")
+    assert len(glob.glob(f"{seg_root}/_ptr_*.json")) == 2  # v1 + v2
+    eng = SearchEngine(spark, seg_root)
+    for q in QUERIES:
+        _assert_same(_results(engine, q), _results(eng, q))
+
+
+def test_truncate_index_keeps_docs_after_compaction(spark, transcripts,
+                                                    tmp_path):
+    from resin_spark.api import truncate_index
+
+    root = str(tmp_path / "idx_trunc")
+    build_index(spark, transcripts, root, n_segments=2)
+    compact(spark, root)
+    n_docs = SearchEngine(spark, root).documents().count()
+    truncate_index(spark, root)
+    from resin_spark import build as B
+
+    assert not B._exists(spark, f"{root}/postings")
+    assert not B._exists(spark, f"{root}/postings__v1")
+    docs = B.read_docs(spark, root)
+    assert docs.count() == n_docs
