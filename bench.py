@@ -380,27 +380,27 @@ criterion is evidenced relative to the memory-bound control.
 
 ## Per-stage 1 vs 4 evidence (scripts/stage_breakdown.py, 10M turns)
 
-Event-log stage breakdown of the build at 10M turns (run recorded
-2026-08-17; reproduce with `python scripts/stage_breakdown.py 10000000 1 4`):
+Event-log stage breakdown of the (parquet-input) build at 10M turns —
+run recorded 2026-08-17 with the current code; reproduce with
+`python scripts/stage_breakdown.py 10000000 1 4`:
 
 | stage | local[1] wall | local[4] wall | eff | cpu(1) -> cpu(4) |
 |---|---|---|---|---|
-| corpus generation + docs shuffle map | 48.3 s | 20.7 s | 0.58 | 48 s -> 81 s (1.7x inflation) |
-| conv_dim join + bucket reshuffle | 28.1 s | 9.9 s | 0.71 | 28 s -> 33 s |
-| tokenize map (regex, codegen) | 100.9 s | 29.5 s | 0.86 | 101 s -> 101 s (none) |
-| shuffle-read + sort + encode + write | 156.0 s | 53.7 s | 0.73 | 156 s -> 213 s (1.37x) |
-| driver gaps (non-stage wall) | ~0.7 s | ~1.1 s | — | — |
+| conv_dim (distinct+sort+zipWithIndex+write) | 14.4 s | 6.2 s | 0.58 (tiny, 5% of wall) | — |
+| docs shuffle map (scan+project, 614 MB) | 12.1 s | 3.9 s | 0.78 | 12 s -> 15 s |
+| docs sort + parquet write | 16.7 s | 6.2 s | 0.67 | 17 s -> 17 s |
+| tokenize map (regex, codegen, 1 GB shuffle write) | 106.7 s | 29.4 s | **0.91** | 105 s -> 97 s (none) |
+| shuffle-read + sort + encode + zstd write | 149.0 s | 53.7 s | 0.69 | 147 s -> 211 s (1.44x) |
+| driver gaps (non-stage wall) | ~2.0 s | ~2.0 s | — | — |
 
-No stage is serial (every stage runs `cores` tasks; driver gaps are ~1 s
-of 120-350 s).  The efficiency loss is uniform per-core CPU inflation
-under concurrency — worst in allocation-heavy string generation (which
-this bench now EXCLUDES from the timed window, since the contract input
-is a table) and visible in the Arrow/numpy encoder exactly as in the
-memory-bound control.  On a real cluster each executor owns its memory
-bandwidth; N->4N executor scaling is bounded by the shuffle fabric
-instead.  The conv_dim join SMJ shuffle found in this profile is now
-broadcast (session default autoBroadcastJoinThreshold=64m; AQE checks
-runtime size so over-threshold dims still degrade safely).
+No stage is serial (every stage runs `cores` tasks; driver gaps are ~2 s
+of 100-300 s; an earlier profile's conv_dim SMJ re-shuffle of the full
+corpus is gone — the dim now broadcasts, one shuffle saved).  The
+efficiency loss is per-core CPU inflation under concurrency in the
+bandwidth-heavy Arrow/numpy encoder stage — the same decay class the
+memory-bound control measures.  On a real cluster each executor owns its
+memory bandwidth; N->4N executor scaling is bounded by the shuffle
+fabric instead.
 
 ## BM25 top-10 query latency (warm session, local[{hi}])
 

@@ -265,11 +265,13 @@ def _encode_sorted_arrays(fa, ta, ba, D, T, L) -> pd.DataFrame:
     doc_id) into one output row per (field, term, block) group.
 
     Fully flat-vectorized: group boundaries come from key change-points,
-    duplicate doc_ids merge via reduceat (tf = Σ per-occurrence tf — the
-    build feeds tf=1 per occurrence so this IS the term frequency;
-    compaction feeds pre-counted tf), block stats and the delta+varint
-    codec all run as single numpy passes with group offsets.  The input
-    being pre-sorted (shuffle sort) means no per-group argsort at all."""
+    duplicate doc_ids merge via reduceat (tf = Σ per-occurrence tf;
+    T=None means every occurrence carries tf=1 — the build path — so tf
+    is just the duplicate run length and the tf column never has to ride
+    the shuffle; compaction feeds pre-counted tf), block stats and the
+    delta+varint codec all run as single numpy passes with group offsets.
+    The input being pre-sorted (shuffle sort) means no per-group argsort
+    at all."""
     from resin_spark.postings import varint_encode_segmented
 
     n = len(D)
@@ -286,7 +288,10 @@ def _encode_sorted_arrays(fa, ta, ba, D, T, L) -> pd.DataFrame:
     isf[off[:-1]] = True
     starts = np.flatnonzero(isf)
     DU = D[starts]
-    TU = np.add.reduceat(T, starts)
+    if T is None:  # unit tf: term frequency == duplicate run length
+        TU = np.diff(np.append(starts, n)).astype(np.int64)
+    else:
+        TU = np.add.reduceat(T, starts)
     LU = L[starts]
     u_off = np.empty(n_groups + 1, np.int64)
     u_off[:-1] = np.searchsorted(starts, off[:-1])
@@ -323,74 +328,83 @@ def _encode_sorted_arrays(fa, ta, ba, D, T, L) -> pd.DataFrame:
     )
 
 
-def _encode_sorted_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+def _encode_sorted_pdf(pdf: pd.DataFrame, unit_tf: bool = False) -> pd.DataFrame:
+    D = pdf["doc_id"].to_numpy(dtype=np.int64)
     return _encode_sorted_arrays(
         pdf["field"].to_numpy(),
         pdf["term"].to_numpy(),
-        pdf["block_id"].to_numpy(),
-        pdf["doc_id"].to_numpy(dtype=np.int64),
-        pdf["tf"].to_numpy(dtype=np.int64),
+        np.right_shift(D, BLOCK_SHIFT),  # derived, never shuffled
+        D,
+        None if unit_tf else pdf["tf"].to_numpy(dtype=np.int64),
         pdf["dl"].to_numpy(dtype=np.int64),
     )
 
 
-def _merge_encode_iter(batches):
-    """mapInPandas worker over a partition sorted by (field, term,
-    block_id, doc_id): stream Arrow batches, hold back the trailing
-    (possibly batch-spanning) group as carry, emit encoded blocks per
-    batch.  Peak memory per task = one Arrow batch + one GROUP (a group
-    is bounded by block capacity) — never the partition, never an
-    aggregation hash map.  This is the spill-safe scale path: all heavy
-    reordering happened in the shuffle sorter (disk-backed spilling).
+def _merge_encode_iter(unit_tf: bool = False):
+    """mapInPandas worker factory over a partition sorted by (field,
+    term, doc_id) — block_id is a monotone function of doc_id, so the
+    sort order equals (field, term, block_id, doc_id) and the block key
+    is DERIVED here instead of riding the shuffle.  Streams Arrow
+    batches, holds back the trailing (possibly batch-spanning) group as
+    carry, emits encoded blocks per batch.  Peak memory per task = one
+    Arrow batch + one GROUP (a group is bounded by block capacity) —
+    never the partition, never an aggregation hash map.  This is the
+    spill-safe scale path: all heavy reordering happened in the shuffle
+    sorter (disk-backed spilling).
 
     The carry is a LIST of chunks concatenated only once at flush, and
     every scan touches only the current batch — a group spanning k
     batches costs O(total rows), not O(k * group)."""
-    carry_chunks: list[pd.DataFrame] = []
-    carry_key: tuple | None = None
 
-    def flush():
-        nonlocal carry_chunks, carry_key
-        out = _encode_sorted_pdf(
-            carry_chunks[0] if len(carry_chunks) == 1
-            else pd.concat(carry_chunks, ignore_index=True)
-        )
-        carry_chunks, carry_key = [], None
-        return out
+    def run(batches):
+        carry_chunks: list[pd.DataFrame] = []
+        carry_key: tuple | None = None
 
-    for pdf in batches:
-        n = len(pdf)
-        if n == 0:
-            continue
-        fa = pdf["field"].to_numpy()
-        ta = pdf["term"].to_numpy()
-        ba = pdf["block_id"].to_numpy()
-        first_key = (fa[0], ta[0], ba[0])
-        last_key = (fa[-1], ta[-1], ba[-1])
-        if carry_key is not None and carry_key != first_key:
+        def flush():
+            nonlocal carry_chunks, carry_key
+            out = _encode_sorted_pdf(
+                carry_chunks[0] if len(carry_chunks) == 1
+                else pd.concat(carry_chunks, ignore_index=True),
+                unit_tf=unit_tf,
+            )
+            carry_chunks, carry_key = [], None
+            return out
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            fa = pdf["field"].to_numpy()
+            ta = pdf["term"].to_numpy()
+            ba = np.right_shift(pdf["doc_id"].to_numpy(np.int64), BLOCK_SHIFT)
+            first_key = (fa[0], ta[0], ba[0])
+            last_key = (fa[-1], ta[-1], ba[-1])
+            if carry_key is not None and carry_key != first_key:
+                yield flush()
+            if first_key == last_key:
+                # whole batch is one group: extend the carry, no emit
+                carry_chunks.append(pdf)
+                carry_key = first_key
+                continue
+            # end of the batch's first group / start of its trailing group
+            first_mask = (fa == fa[0]) & (ta == ta[0]) & (ba == ba[0])
+            head_end = int(np.flatnonzero(~first_mask)[0])
+            trailing = (fa == fa[-1]) & (ta == ta[-1]) & (ba == ba[-1])
+            cut = int(np.flatnonzero(~trailing)[-1]) + 1
+            if carry_key is not None:  # == first_key: group completes here
+                carry_chunks.append(pdf.iloc[:head_end])
+                yield flush()
+                body = pdf.iloc[head_end:cut]
+            else:
+                body = pdf.iloc[:cut]
+            if len(body):
+                yield _encode_sorted_pdf(body, unit_tf=unit_tf)
+            carry_chunks = [pdf.iloc[cut:]]
+            carry_key = last_key
+        if carry_chunks:
             yield flush()
-        if first_key == last_key:
-            # whole batch is one group: extend the carry, nothing to emit
-            carry_chunks.append(pdf)
-            carry_key = first_key
-            continue
-        # end of the batch's first group / start of its trailing group
-        first_mask = (fa == fa[0]) & (ta == ta[0]) & (ba == ba[0])
-        head_end = int(np.flatnonzero(~first_mask)[0])
-        trailing = (fa == fa[-1]) & (ta == ta[-1]) & (ba == ba[-1])
-        cut = int(np.flatnonzero(~trailing)[-1]) + 1
-        if carry_key is not None:  # == first_key: group completes here
-            carry_chunks.append(pdf.iloc[:head_end])
-            yield flush()
-            body = pdf.iloc[head_end:cut]
-        else:
-            body = pdf.iloc[:cut]
-        if len(body):
-            yield _encode_sorted_pdf(body)
-        carry_chunks = [pdf.iloc[cut:]]
-        carry_key = last_key
-    if carry_chunks:
-        yield flush()
+
+    return run
 
 def _decode_blocks(rows: pd.DataFrame) -> pd.DataFrame:
     out_docs, out_tfs, out_dls = [], [], []
@@ -418,12 +432,17 @@ decode_blocks_udf = F.pandas_udf(
 
 
 def postings_blocks(occurrences: DataFrame,
-                    out_partitions: int | None = None) -> DataFrame:
+                    out_partitions: int | None = None,
+                    unit_tf: bool = False) -> DataFrame:
     """(field, term, block_id) -> encoded posting block, in ONE shuffle.
 
-    occurrences: (field, doc_id, term, tf, dl) — the build path feeds raw
-    token occurrences (tf=1 each); compaction feeds pre-merged postings
-    (tf = real counts).
+    occurrences: (field, doc_id, term, dl[, tf]) — the build path feeds
+    raw token occurrences (``unit_tf=True``: every occurrence counts 1,
+    so NO tf column rides the shuffle and tf falls out of the encoder's
+    duplicate merge); compaction feeds pre-merged postings with real tf
+    counts.  The block key is a shuffle/sort EXPRESSION only
+    (shiftright(doc_id)), derived again in the encoder — together the
+    two dropped int64 columns cut shuffle bytes ~20% at 10M turns.
 
     This is the north rule's repartition-and-sort-within-partitions merge:
     occurrences hash-shuffle on the FULL (field, term, block_id) key (hot
@@ -440,14 +459,16 @@ def postings_blocks(occurrences: DataFrame,
     n_parts = out_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions")
     )
-    keys = ["field", "term", "block_id"]
-    with_block = occurrences.withColumn(
-        "block_id", F.shiftright(F.col("doc_id"), BLOCK_SHIFT)
-    ).select("field", "term", "block_id", "doc_id", "tf", "dl")
-    parted = with_block.repartition(n_parts, *keys).sortWithinPartitions(
-        *keys, "doc_id"
+    cols = ["field", "term", "doc_id", "dl"] + ([] if unit_tf else ["tf"])
+    block_expr = F.shiftright(F.col("doc_id"), BLOCK_SHIFT)
+    parted = (
+        occurrences.select(*cols)
+        .repartition(n_parts, F.col("field"), F.col("term"), block_expr)
+        # block_id is monotone in doc_id, so this order IS
+        # (field, term, block_id, doc_id)
+        .sortWithinPartitions("field", "term", "doc_id")
     )
-    return parted.mapInPandas(_merge_encode_iter, schema=POSTINGS_SCHEMA)
+    return parted.mapInPandas(_merge_encode_iter(unit_tf), schema=POSTINGS_SCHEMA)
 
 
 def decoded_postings(postings: DataFrame) -> DataFrame:
@@ -735,9 +756,10 @@ def _build_segment(
         dl.write.mode("overwrite").parquet(f"{p_doclens(root)}/segment={seg}")
 
     # postings: tokenize -> ONE shuffle to (field, term, block) reducers;
-    # tf/dl/stats derive inside the streaming merge-encoder
-    occ = tokenized(docs, fields).withColumn("tf", F.lit(1).cast("long"))
-    blocks = postings_blocks(occ, out_partitions=out_partitions)
+    # tf/dl/stats derive inside the streaming merge-encoder (unit_tf:
+    # tf = duplicate run length, no tf column in the shuffle)
+    occ = tokenized(docs, fields)
+    blocks = postings_blocks(occ, out_partitions=out_partitions, unit_tf=True)
     with _arrow_batch_rows(spark):
         blocks.write.mode("overwrite").option("compression", "zstd").parquet(
             f"{p_postings(root)}/segment={seg}"

@@ -88,6 +88,74 @@ def read_wet_docs(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_wat_docs(spark: SparkSession, path: str,
+                  filename: str | None = None) -> DataFrame:
+    """S5: CommonCrawl WAT metadata records -> docs with
+    (title, description, scheme, host, path, query, url, filename).
+
+    Faithful to CCHelper.ReadWatFile (/root/reference/src/Sir.CommonCrawl/
+    CCHelper.cs:68-152): each '{'-prefixed line is one JSON record; only
+    WARC-Type == "response" records are kept; title comes from
+    HTML-Metadata.Head.Title, description from the Head.Metas entry named
+    "description"; the URI is split into scheme/host/path/query.
+
+    Spark-first: line-per-record text scan + from_json with a NARROW
+    schema (only the fields used — the parser never materializes the
+    rest of the record) + parse_url; no Python in the path.  Documented
+    deviations: url_decode is form-style percent-decoding, and query
+    comes back without the leading '?' (parse_url semantics)."""
+    from pyspark.sql.types import (ArrayType, MapType, StringType,
+                                   StructField, StructType)
+
+    head = StructType([
+        StructField("Title", StringType()),
+        StructField("Metas", ArrayType(MapType(StringType(), StringType()))),
+    ])
+    schema = StructType([
+        StructField("Envelope", StructType([
+            StructField("WARC-Header-Metadata", StructType([
+                StructField("WARC-Type", StringType()),
+                StructField("WARC-Target-URI", StringType()),
+            ])),
+            StructField("Payload-Metadata", StructType([
+                StructField("HTTP-Response-Metadata", StructType([
+                    StructField("HTML-Metadata", StructType([
+                        StructField("Head", head),
+                    ])),
+                ])),
+            ])),
+        ])),
+    ])
+    rec = (
+        spark.read.text(path)
+        .filter(F.col("value").startswith("{"))
+        .select(F.from_json("value", schema).alias("j"))
+    )
+    hdr = F.col("j")["Envelope"]["WARC-Header-Metadata"]
+    head_col = (F.col("j")["Envelope"]["Payload-Metadata"]
+                ["HTTP-Response-Metadata"]["HTML-Metadata"]["Head"])
+    raw = hdr["WARC-Target-URI"]  # escaped form — what parse_url expects
+    desc_metas = F.filter(
+        head_col["Metas"],
+        lambda m: F.lower(m["name"]) == "description",
+    )
+    description = F.when(F.size(desc_metas) > 0,
+                         F.element_at(desc_metas, 1)["content"])
+    return (
+        rec.filter(hdr["WARC-Type"] == "response")
+        .select(
+            head_col["Title"].alias("title"),
+            description.alias("description"),
+            F.lower(F.try_parse_url(raw, F.lit("PROTOCOL"))).alias("scheme"),
+            F.try_parse_url(raw, F.lit("HOST")).alias("host"),
+            F.url_decode(F.try_parse_url(raw, F.lit("PATH"))).alias("path"),
+            F.try_parse_url(raw, F.lit("QUERY")).alias("query"),
+            F.url_decode(raw).alias("url"),
+            F.lit(filename).cast("string").alias("filename"),
+        )
+    )
+
+
 def transcripts_from_docs(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -129,6 +129,42 @@ def test_sources_wet_records(spark, tmp_path):
     assert t.count() == 2
 
 
+def test_sources_wat_records(spark, tmp_path):
+    """WAT metadata records (S5): response records only, title +
+    description-meta extraction, url split."""
+    import json as _json
+
+    rec_resp = {
+        "Envelope": {
+            "WARC-Header-Metadata": {
+                "WARC-Type": "response",
+                "WARC-Target-URI": "https://example.com/a%20b?x=1",
+            },
+            "Payload-Metadata": {"HTTP-Response-Metadata": {"HTML-Metadata": {
+                "Head": {
+                    "Title": "A Title",
+                    "Metas": [{"name": "keywords", "content": "k"},
+                              {"name": "Description", "content": "the desc"}],
+                },
+            }}},
+        }
+    }
+    rec_req = {"Envelope": {"WARC-Header-Metadata": {
+        "WARC-Type": "request",
+        "WARC-Target-URI": "https://example.com/skip"}}}
+    p = tmp_path / "sample.warc.wat"
+    p.write_text("WARC/1.0\nWARC-Type: metadata\n\n"
+                 + _json.dumps(rec_resp) + "\n"
+                 + _json.dumps(rec_req) + "\n")
+    rows = sources.read_wat_docs(spark, str(p), filename="sample").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["title"] == "A Title" and r["description"] == "the desc"
+    assert r["scheme"] == "https" and r["host"] == "example.com"
+    assert r["path"] == "/a b" and r["query"] == "x=1"
+    assert r["filename"] == "sample"
+
+
 def test_sources_json_roundtrip(spark, tmp_path):
     import gzip
     import json
