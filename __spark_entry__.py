@@ -351,6 +351,27 @@ def _q_wand_topk(spark, sf):
     return _engine_result(hit_df.join(docs, "doc_id").drop("doc_id"))
 
 
+def _q_resin_cosine(spark, sf):
+    """Resin's native char-bag COSINE ranking through the engine path:
+    the typo'd token 'applw' maps to its closest char-bag vocabulary
+    term (fuzzy matching, PathFinder.ClosestMatch semantics) and every
+    posting of that term scores the cosine (single-token query)."""
+    from resin_spark.resin_score import resin_topk
+
+    eng = _engine(spark, sf)
+    hits = resin_topk(eng, "applw", field="text", k=1000)
+    docs = eng.documents().select("doc_id", "conv_id")
+    return (
+        hits.join(docs, "doc_id")
+        .select(
+            F.substring("conv_id", 2, 18).cast("long").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
 def _q_bm25_charbag(spark, sf):
     """BM25 under Resin's char-bag term identity (anagrams collide; the
     testdata vocabulary happens to have no anagram pairs, so this equals
@@ -442,6 +463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_engine_paged": _q_engine_paged,
         "ft_engine_multifield": _q_engine_multifield,
         "ft_wand_topk": _q_wand_topk,
+        "ft_resin_cosine": _q_resin_cosine,
         "ft_bm25_charbag": _q_bm25_charbag,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         # LSH pipelines: md5-lane hashes + integer hyperplanes, so each
@@ -561,6 +583,50 @@ SELECT p.id_a, p.id_b, ({ham})::BIGINT AS hamming
 FROM pairs p JOIN bands x ON x.doc_id = p.id_a JOIN bands y ON y.doc_id = p.id_b
 WHERE ({ham}) <= {max_hamming}
 ORDER BY id_a, id_b
+"""
+
+
+def _resin_cosine_sql(token: str, k: int = 10) -> str:
+    """Char-bag cosine closest-match + postings, mirroring
+    resin_score.cosine_expr's float64 op tree exactly: the dot is a sum
+    of exact small-integer products (bit-identical across engines), the
+    argmax tie-break is (cos, ck) descending like Spark's
+    max(struct(cos, key))."""
+    import math
+    from collections import Counter
+
+    bag = Counter(token)
+    qn = math.sqrt(sum(v * v for v in bag.values()))
+    dot = " + ".join(
+        f"{float(v)!r}::DOUBLE * "
+        f"(length(ck) - length(replace(ck, '{c}', '')))::DOUBLE"
+        for c, v in sorted(bag.items())
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+terms AS (SELECT DISTINCT term FROM toks),
+cks AS (
+  SELECT DISTINCT
+         array_to_string(list_sort(regexp_extract_all(term, '.')), '') AS ck
+  FROM terms
+),
+scored AS (
+  SELECT ck,
+         ({dot}) / (sqrt(list_aggregate(list_transform(
+             list_distinct(regexp_extract_all(ck, '.')),
+             c -> pow((length(ck) - length(replace(ck, c, '')))::DOUBLE, 2)),
+             'sum')) * {qn!r}) AS cos
+  FROM cks
+),
+best AS (SELECT ck, cos FROM scored ORDER BY cos DESC, ck DESC LIMIT 1),
+match_docs AS (
+  SELECT DISTINCT t.doc_id
+  FROM toks t, best b
+  WHERE array_to_string(list_sort(regexp_extract_all(t.term, '.')), '') = b.ck
+)
+SELECT doc_id, round((SELECT cos FROM best), 4) AS score
+FROM match_docs
+ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
 
 
@@ -773,6 +839,7 @@ WHERE term IN ('spark', 'table') GROUP BY doc_id
 ORDER BY round(sum(score), 6) DESC, doc_id ASC LIMIT 10
 """
         ),
+        "ft_resin_cosine": _resin_cosine_sql("applw", k=10),
         "ft_bm25_charbag": f"""
 WITH toks AS (
   SELECT doc_id, unnest({TOKS}) AS term FROM documents

@@ -624,6 +624,38 @@ class SearchEngine:
             state = self._reduce_query(q.not_q, state, scored, df_map, term_identity)
         return state
 
+    def diagnostics(self, query: dict | Query | None = None) -> dict:
+        """X13 — index/operator diagnostics (the reference logs tree
+        depth/width and docs/sec, PathFinder.Size + IndexDebugger; the
+        Spark analogs are segment/block shape, corpus stats, and the
+        executed plan of a query).  Driver-side metadata only — reads
+        block METADATA columns, never decodes postings."""
+        post = self.postings()
+        shape = (
+            post.groupBy("field").agg(
+                F.countDistinct("segment").alias("n_segments"),
+                F.count(F.lit(1)).alias("n_blocks"),
+                F.countDistinct("term").alias("n_terms"),
+                F.sum("df_block").alias("n_postings"),
+                F.max("df_block").alias("max_block_df"),
+            ).collect()
+        )
+        out = {
+            "root": self.root,
+            "stats": self.stats(),
+            "fields": {
+                r["field"]: {k: r[k] for k in
+                             ("n_segments", "n_blocks", "n_terms",
+                              "n_postings", "max_block_df")}
+                for r in shape
+            },
+        }
+        if query is not None:
+            q = parse_query(query) if isinstance(query, dict) else query
+            plan = self.search(q, k=10)
+            out["plan"] = plan._jdf.queryExecution().executedPlan().toString()
+        return out
+
     def vocabulary(self, field: str = "text") -> DataFrame:
         """I5 Build (pure vocabulary): distinct terms of a field with df
         (GraphBuilder.cs:201-241 built a doc-less term tree)."""

@@ -28,6 +28,33 @@ STOPWORDS = {
 BPE_ISH_PATTERN = r"\p{L}+|\p{N}+|[^\p{L}\p{N}\s]"
 
 
+def html_text_col(html: Column | str,
+                  no_tags: tuple[str, ...] = ("script", "style")) -> Column:
+    """T10: visible text out of HTML — the Spark analog of the
+    reference's YesNoParser('>', '<') char machine
+    (/root/reference/src/Sir.HttpServer/YesNoParser.cs:16-80): text
+    between tags is kept, tag bodies dropped, and `no_tags` elements
+    (script/style) are dropped INCLUDING their contents.  Pure JVM
+    regexes (codegen), whitespace collapsed."""
+    c = F.col(html) if isinstance(html, str) else html
+    alts = "|".join(no_tags)
+    no_block = F.regexp_replace(
+        c, f"(?is)<({alts})\\b[^>]*>.*?(</({alts})\\s*>|$)", " "
+    )
+    stripped = F.regexp_replace(no_block, "(?s)<[^>]*>", " ")
+    return F.trim(F.regexp_replace(stripped, r"\s+", " "))
+
+
+def html_text_py(html: str, no_tags: tuple[str, ...] = ("script", "style")) -> str:
+    """Pure-python twin of html_text_col (re module, same passes)."""
+    import re
+
+    alts = "|".join(no_tags)
+    out = re.sub(f"(?is)<({alts})\\b[^>]*>.*?(</({alts})\\s*>|$)", " ", html)
+    out = re.sub("(?s)<[^>]*>", " ", out)
+    return re.sub(r"\s+", " ", out).strip()
+
+
 def token_count_col(text: Column | str) -> Column:
     """Whitespace-free token count under the engine tokenizer."""
     return F.size(tokens_col(text))

@@ -79,6 +79,15 @@ def test_parse_flat_executes(engine, oracle):
     assert [g[0] for g in got] == [w[0] for w in want]
 
 
+def test_engine_diagnostics(spark, engine):
+    d = engine.diagnostics({"or": {"text": "banana"}})
+    assert d["root"] == engine.root
+    assert d["fields"]["text"]["n_terms"] > 50
+    assert d["fields"]["text"]["n_postings"] >= d["fields"]["text"]["n_terms"]
+    assert "FileScan" in d["plan"]
+    assert "text" in d["stats"] and d["stats"]["text"]["n_docs"] > 0
+
+
 WET_SAMPLE = (
     "WARC/1.0\r\n"
     "WARC-Type: warcinfo\r\n"

@@ -132,6 +132,19 @@ def test_simhash_parity_and_candidates(spark, docs):
     assert (0, 3) not in pairs
 
 
+def test_html_text_extract(spark):
+    html = ("<html><head><title>T</title>"
+            "<script type='x'>var a = '<div>';</script>"
+            "<style>.x{color:red}</style></head>"
+            "<body><p>Hello <b>world</b>!</p><br/>Second   line</body></html>")
+    df = spark.createDataFrame([(html,)], "html string")
+    got = df.select(textops.html_text_col("html").alias("t")).collect()[0]["t"]
+    assert got == textops.html_text_py(html)
+    assert "Hello world !" in got or "Hello world!" in got.replace(" !", "!")
+    assert "script" not in got and "color" not in got and "var a" not in got
+    assert "Second line" in got
+
+
 def test_token_counts(spark, docs):
     rows = docs.select(
         "doc_id", "text",
