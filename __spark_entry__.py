@@ -436,6 +436,65 @@ def _q_ann_topk(spark, sf):
     )
 
 
+def _q_vec_arith(spark, sf):
+    """T7 sparse-vector arithmetic (Vector.cs:88-158 rebuilt as map
+    HOFs): for each embedding a (sparse form m) and its reverse b,
+    compute average(3*m, m - b) and return the deterministic
+    ascending-key component sum — exercises multiply, subtract (with
+    exact-zero drop), add and average in one op tree that DuckDB can
+    mirror dim-by-dim."""
+    from resin_spark import vectorspace as vs
+
+    emb = _emb(spark, sf)
+    m = vs.to_sparse(F.col("embedding"))
+    mrev = vs.to_sparse(F.reverse(F.col("embedding")))
+    r = vs.vec_average(vs.vec_multiply(m, 3.0), vs.vec_subtract(m, mrev))
+    return emb.select(
+        "vec_id", F.round(vs.map_sum(r), 4).alias("comp_sum")
+    ).orderBy("vec_id")
+
+
+def _q_text_cbow(spark, sf):
+    """T3 CBOW tokenize (BagOfCharsModel.cs:94-144): per-doc vector
+    count + total component mass of the context vectors.  The component
+    sum is computed from the ACTUAL maps Spark-side; the oracle uses the
+    invariant that a char-bag's components sum to the token length, so
+    the shift/concat plumbing is what's being checked."""
+    from resin_spark import vectorspace as vs
+
+    cb = vs.cbow_vectors(F.col("text"))
+    comp = F.aggregate(
+        cb, F.lit(0.0), lambda acc, e: acc + vs.map_sum(e["vec"])
+    )
+    return (
+        _docs(spark, sf)
+        .select(
+            "doc_id",
+            F.size(cb).cast("long").alias("n_vecs"),
+            comp.cast("long").alias("comp_sum"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _q_vec_classify(spark, sf):
+    """I6 supervised insert + validate (GraphBuilder.cs:25-69,
+    ValidateMnistCommand.cs:31-46): train a supervised index on the
+    first half of the labeled embeddings, classify the second half by
+    best cosine exemplar (broadcast), deterministic (cos, label)
+    tie-break."""
+    from resin_spark import vectorspace as vs
+
+    emb = _emb(spark, sf)
+    idx = vs.supervised_index(emb.filter(F.col("vec_id") < 250))
+    pred = vs.classify(
+        emb.filter(F.col("vec_id") >= 250), idx.select("embedding", "label")
+    )
+    return pred.select(
+        "vec_id", "pred_label", F.round("cos", 4).alias("cos")
+    ).orderBy("vec_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ft_doc_count": _q_doc_count,
@@ -472,6 +531,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": _q_simhash_pairs,
         "emb_ann_topk": _q_ann_topk,
         "dedup_emb_neardup": _q_emb_neardup,
+        # vector-space ops (SURVEY §2 T3/T7/I6, resin_spark/vectorspace.py)
+        "vec_sparse_arith": _q_vec_arith,
+        "text_cbow": _q_text_cbow,
+        "vec_classify": _q_vec_classify,
     }
 
 
@@ -912,5 +975,56 @@ c AS (
 )
 SELECT vec_id, round(cosine, 4) AS cosine FROM c
 ORDER BY round(cosine, 4) DESC, vec_id ASC LIMIT 10
+""",
+        # (avg(3a, a - reverse(a))) summed ascending-dim — the same
+        # float64 op tree as the Spark map HOFs in _q_vec_arith
+        "vec_sparse_arith": """
+WITH e AS (
+  SELECT vec_id, embedding AS a, list_reverse(embedding) AS b
+  FROM embeddings
+)
+SELECT vec_id,
+       round(list_aggregate(list_transform(range(1, len(a) + 1),
+             i -> (3.0 * a[i]::DOUBLE
+                   + (a[i]::DOUBLE - b[i]::DOUBLE)) / 2.0), 'sum'),
+             4) AS comp_sum
+FROM e ORDER BY vec_id
+""",
+        # CBOW invariant: char-bag components sum to token length, so a
+        # position contributes len(left)+len(right), or len(token) when
+        # neighbourless (single-token doc)
+        "text_cbow": f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents)
+SELECT doc_id, len(toks)::BIGINT AS n_vecs,
+  (CASE WHEN len(toks) = 0 THEN 0
+        WHEN len(toks) = 1 THEN length(toks[1])
+        ELSE list_aggregate(list_transform(range(1, len(toks) + 1),
+             i -> (CASE WHEN i > 1 THEN length(toks[i - 1]) ELSE 0 END)
+                + (CASE WHEN i < len(toks) THEN length(toks[i + 1])
+                   ELSE 0 END)), 'sum')
+   END)::BIGINT AS comp_sum
+FROM t ORDER BY doc_id
+""",
+        "vec_classify": """
+WITH tr AS (SELECT embedding, label FROM embeddings WHERE vec_id < 250),
+te AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 250),
+sc AS (
+  SELECT te.vec_id, tr.label,
+         list_aggregate(list_transform(list_zip(te.embedding, tr.embedding),
+                        z -> z[1]::DOUBLE * z[2]::DOUBLE), 'sum')
+         / (sqrt(list_aggregate(list_transform(te.embedding,
+                        x -> x::DOUBLE * x::DOUBLE), 'sum'))
+            * sqrt(list_aggregate(list_transform(tr.embedding,
+                        x -> x::DOUBLE * x::DOUBLE), 'sum'))) AS cos
+  FROM te CROSS JOIN tr
+),
+best AS (
+  SELECT vec_id, label AS pred_label, cos,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, label DESC) AS rn
+  FROM sc
+)
+SELECT vec_id, pred_label, round(cos, 4) AS cos
+FROM best WHERE rn = 1 ORDER BY vec_id
 """,
     }
