@@ -397,7 +397,7 @@ with concurrency in proportion to how DRAM-bound the workload is.  The
 index build's per-task working set (shuffle fetch + sort + Arrow + zstd
 over ~100s of MB) is squarely in the DRAM-bound class: its measured
 efficiency ({r['scaling_efficiency_1_to_4']:.3f}, and 0.62-0.75 across
-bench sessions with only ±0.01 within-run trial spread) sits inside the
+bench sessions; within-run trial spread ±{(max(r['scaling_efficiency_trials']) - min(r['scaling_efficiency_trials'])) / 2:.2f}) sits inside the
 DRAM-bound control's band — the engine adds no scaling loss beyond what
 ANY DRAM-bound computation pays on this box (the >=0.8 criterion
 evidenced relative to the hardware ceiling; per-stage evidence below
