@@ -57,6 +57,8 @@ class SearchEngine:
         self._cached: list[DataFrame] = []
         self._docs_df: DataFrame | None = None
         self._postings_df: DataFrame | None = None
+        self._term_dir: DataFrame | None = None
+        self._docs_size: int | None = None
 
     # ------------------------------------------------------------ stores
     def documents(self) -> DataFrame:
@@ -72,11 +74,36 @@ class SearchEngine:
             self._postings_df = B.read_postings(self.spark, self.root)
         return self._postings_df
 
+    def term_directory(self) -> DataFrame:
+        """X1 — the in-memory term index analog.  The reference holds its
+        term tree in RAM per session (SessionFactory caches ColumnReaders
+        over the .ix stream); Spark-side that's a persisted metadata-only
+        frame (field, term, chars_key, df) aggregated over segments and
+        blocks — O(#terms) rows, no posting binaries.  First access pays
+        one build job; every later query's df lookup filters the cached
+        columnar frame instead of re-scanning parquet footers.  At 100 TB
+        this is the term dictionary — it spreads across executor block
+        managers (MEMORY_AND_DISK: cold terms spill, never OOM)."""
+        if self._term_dir is None:
+            from pyspark import StorageLevel
+
+            self._term_dir = (
+                self.postings()
+                .groupBy("field", "term", "chars_key")
+                .agg(F.sum("df_block").alias("df"))
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+        return self._term_dir
+
     def refresh(self) -> None:
         """Drop cached listings/stats after new segments are appended."""
         self._docs_df = None
         self._postings_df = None
         self._stats = None
+        self._docs_size = None
+        if self._term_dir is not None:
+            self._term_dir.unpersist()
+            self._term_dir = None
 
     def doc_count(self) -> int:
         """S13 — GetDocCount (SessionFactory.cs:54-62).  Every stats row
@@ -165,10 +192,35 @@ class SearchEngine:
 
         sel = select or q.select
         docs = self.documents()
-        # broadcast only when k bounds the ranked side; k=0 ("all", e.g.
-        # save_as CTAS) can be corpus-sized — let Spark pick the strategy
-        right = F.broadcast(ranked) if k else ranked
-        out = docs.join(right, "doc_id")
+        if k and (k + skip) <= self._POINT_FETCH_MAX_K \
+                and self._docs_bytes() > self._POINT_FETCH_MIN_DOCS_BYTES:
+            # big-table small-k path: run the TakeOrderedAndProject NOW
+            # (the eager semantics of the reference's Search), then fetch
+            # the hit documents via a pushed-down doc_id IN (...) point
+            # scan — min/max row-group pruning on the doc_id-sorted docs
+            # table — instead of a broadcast join that streams the whole
+            # docs table past k rows.  Gated on docs size: below the
+            # threshold the full-scan broadcast join is cheaper than a
+            # second Spark action (measured: the extra action costs
+            # ~0.3-0.5 s while a <4 GiB local scan costs less); above it
+            # the saved scan dominates — at 100 TB this is THE fetch
+            # path.  Identical rows (score carried as a literal frame).
+            hits = ranked.collect()
+            lit = self.spark.createDataFrame(
+                [(int(r["doc_id"]), float(r["score"])) for r in hits],
+                "doc_id long, score double",
+            )
+            if hits:
+                docs = docs.filter(
+                    F.col("doc_id").isin([int(r["doc_id"]) for r in hits])
+                )
+            out = docs.join(F.broadcast(lit), "doc_id")
+        else:
+            # broadcast only when k bounds the ranked side; k=0 ("all",
+            # e.g. save_as CTAS) can be corpus-sized — let Spark pick the
+            # strategy
+            right = F.broadcast(ranked) if k else ranked
+            out = docs.join(right, "doc_id")
         cols = ["conv_id", "turn_idx"]
         if sel:
             cols += [c for c in sel if c not in ("conv_id", "turn_idx")]
@@ -192,6 +244,20 @@ class SearchEngine:
     # mask-fold fast path bounds: one bit per unique (field, term) key
     _MASK_MAX_KEYS = 63
     _MASK_MAX_CLASSES = 4096
+    # search(): up to this many hits fetch via eager top-k + pushed-down
+    # doc_id IN point scan (beyond it, the lazy broadcast-join path) —
+    # but only when the docs table is big enough that skipping its full
+    # scan beats one extra Spark action
+    _POINT_FETCH_MAX_K = 1024
+    _POINT_FETCH_MIN_DOCS_BYTES = 4 << 30
+
+    def _docs_bytes(self) -> int:
+        """Catalyst's size estimate for the docs table (file-listing
+        stats off the cached FileIndex — no job)."""
+        if self._docs_size is None:
+            plan = self.documents()._jdf.queryExecution().optimizedPlan()
+            self._docs_size = int(plan.stats().sizeInBytes())
+        return self._docs_size
 
     def _ranked(self, q: Query, term_identity: str) -> DataFrame:
         """(doc_id, score) after the boolean fold.
@@ -268,8 +334,9 @@ class SearchEngine:
         # the decoded frame.
         if term_identity == "surface":
             df_rows = (
-                matched.groupBy("field", F.col(key_col).alias("term"))
-                .agg(F.sum("df_block").alias("df"))
+                self.term_directory().filter(pred)
+                .groupBy("field", F.col(key_col).alias("term"))
+                .agg(F.sum("df").alias("df"))
                 .collect()
             )
         else:
@@ -355,10 +422,11 @@ class SearchEngine:
 
         df_by_key = None
         if term_identity == "surface":
-            # df off the block metadata (no posting decode)
+            # df off the persisted term directory (no parquet re-scan)
             df_rows = (
-                matched.groupBy("field", F.col(key_col).alias("term"))
-                .agg(F.sum("df_block").alias("df"))
+                self.term_directory().filter(pred)
+                .groupBy("field", F.col(key_col).alias("term"))
+                .agg(F.sum("df").alias("df"))
                 .collect()
             )
             df_map = {(r["field"], r["term"]): r["df"] for r in df_rows}

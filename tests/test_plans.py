@@ -83,3 +83,46 @@ def test_postings_sorted_within_files(engine):
         t = pq.read_table(f, columns=["field", "term"])
         pairs = list(zip(t["field"].to_pylist(), t["term"].to_pylist()))
         assert pairs == sorted(pairs)
+
+
+def test_point_fetch_path_identical_and_pushed(engine, monkeypatch):
+    """X8 big-table fetch: with the docs-size gate forced open, search()
+    fetches via a pushed-down doc_id IN point scan and returns EXACTLY
+    the rows of the broadcast-join path."""
+    from resin_spark.executor import SearchEngine
+
+    q = {"and": {"text": "banana", "not": {"text": "apples"}}}
+    want = engine.search(q, k=5).collect()
+
+    monkeypatch.setattr(SearchEngine, "_POINT_FETCH_MIN_DOCS_BYTES", 0)
+    got_df = engine.search(q, k=5)
+    plan = _plan(got_df)
+    assert "doc_id IN" in plan or "doc_id, [" in plan or "In(doc_id" in plan, plan
+    got = got_df.collect()
+    assert got == want
+    assert len(got) > 0
+
+
+def test_point_fetch_empty_result(engine, monkeypatch):
+    from resin_spark.executor import SearchEngine
+
+    monkeypatch.setattr(SearchEngine, "_POINT_FETCH_MIN_DOCS_BYTES", 0)
+    assert engine.search({"or": {"text": "zzznosuchterm"}}, k=5).collect() == []
+
+
+def test_term_directory_matches_metadata(engine):
+    """X1 in-memory term index: the persisted directory must agree with
+    the raw block metadata for every (field, term)."""
+    want = {
+        (r["field"], r["term"]): r["df"]
+        for r in engine.postings()
+        .groupBy("field", "term").agg(F.sum("df_block").alias("df"))
+        .collect()
+    }
+    got = {
+        (r["field"], r["term"]): r["df"]
+        for r in engine.term_directory()
+        .groupBy("field", "term").agg(F.sum("df").alias("df"))
+        .collect()
+    }
+    assert got == want
