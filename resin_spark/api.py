@@ -22,7 +22,44 @@ __all__ = [
     "compact",
     "truncate",
     "save_as",
+    "append_docs",
+    "write_results",
 ]
+
+
+def append_docs(spark: SparkSession, batch: DataFrame, root: str,
+                fields: tuple[str, ...] | None = None) -> dict:
+    """S8 write-session analog: append a batch of documents to an
+    existing collection as ONE new index segment (the reference's HTTP
+    POST write path runs WriteSession+IndexSession incrementally,
+    /root/reference/src/Sir.HttpServer/Controllers/WriteController
+    .cs:24-57 -> Sir.Search/Session/WriteSession.cs:26-38).  Same
+    machinery as a streaming micro-batch: conv_dim extends append-only
+    (existing doc IDs immutable), segment id = max existing + 1."""
+    from resin_spark import build as B
+
+    from pyspark.sql import functions as F
+
+    seg = max(B.completed_segments(spark, root), default=-1) + 1
+    conv_dim = B.extend_conv_dim(spark, batch, root)
+    dl = B._exists(spark, B.p_doclens(root))
+    seg_df = batch.withColumn("segment", F.lit(seg))
+    B._build_segment(spark, seg_df, conv_dim, root,
+                     fields or B.DEFAULT_FIELDS, seg, write_doclens=dl)
+    return {"segment": seg}
+
+
+def write_results(df: DataFrame, path: str, fmt: str = "json",
+                  single_file: bool = False) -> None:
+    """S9 JSON result sink: persist a query result (the reference's HTTP
+    surface serializes SearchResult documents as JSON,
+    /root/reference/src/Sir.HttpServer/Controllers/SearchController
+    .cs:22-57).  ``single_file`` coalesces to one output part — only for
+    top-k-sized results, never corpus-sized frames."""
+    if fmt not in ("json", "parquet"):
+        raise ValueError(f"unsupported result format: {fmt}")
+    out = df.coalesce(1) if single_file else df
+    getattr(out.write.mode("overwrite"), fmt)(path)
 
 
 def truncate(spark: SparkSession, root: str) -> None:

@@ -71,7 +71,28 @@ def cmd_search(args) -> int:
             args.k, truncate=60)
         return 0
     q = json.loads(args.q)
-    eng.search(q, k=args.k, skip=args.skip).show(args.k, truncate=60)
+    out = eng.search(q, k=args.k, skip=args.skip)
+    if args.out:
+        # S9 JSON result sink (SearchController serializes results as
+        # JSON; here: a file/table sink instead of an HTTP body)
+        from resin_spark.api import write_results
+
+        write_results(out, args.out, fmt=args.out_format,
+                      single_file=bool(args.k))
+        print(args.out)
+    else:
+        out.show(args.k, truncate=60)
+    return 0
+
+
+def cmd_write(args) -> int:
+    """S8 write-session analog: append documents to an existing
+    collection as one new segment."""
+    from resin_spark.api import append_docs
+
+    spark = _session(args)
+    batch = spark.read.parquet(args.input)
+    print(json.dumps(append_docs(spark, batch, args.root)))
     return 0
 
 
@@ -125,6 +146,15 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--skip", type=int, default=0)
     s.add_argument("--model", choices=["bm25", "resin"], default="bm25",
                    help="bm25 (north rule) or resin char-bag cosine")
+    s.add_argument("--out", default=None,
+                   help="write results to this path instead of showing")
+    s.add_argument("--out-format", choices=["json", "parquet"],
+                   default="json")
+
+    w = sub.add_parser("write")
+    w.add_argument("--input", required=True,
+                   help="parquet transcript batch to append")
+    w.add_argument("--root", required=True)
 
     o = sub.add_parser("optimize")
     o.add_argument("--root", required=True)
@@ -143,6 +173,7 @@ def main(argv: list[str] | None = None) -> int:
         "package": cmd_package,
         "build": cmd_build,
         "search": cmd_search,
+        "write": cmd_write,
         "optimize": cmd_optimize,
         "truncate": cmd_truncate,
         "stream": cmd_stream,

@@ -193,3 +193,47 @@ def test_sources_json_roundtrip(spark, tmp_path):
         spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
     )
     assert t.columns == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def test_append_docs_and_write_results(spark, tmp_path):
+    """S8 write-session analog + S9 JSON result sink: append a batch as
+    a new segment, query parity with a full rebuild, sink round-trip."""
+    import json
+
+    from resin_spark import build as B
+    from resin_spark.api import append_docs, write_results
+    from resin_spark.executor import SearchEngine
+    from resin_spark.fixtures import transcripts_df
+    from pyspark.sql import functions as F
+
+    t = transcripts_df(spark, n_convs=20, max_turns=4)
+    w1 = t.filter(F.col("conv_id") < "conv00000010")
+    w2 = t.filter(F.col("conv_id") >= "conv00000010")
+
+    root = str(tmp_path / "append_idx")
+    B.build_index(spark, w1, root)
+    out = append_docs(spark, w2, root)
+    assert out["segment"] >= 1
+
+    eng = SearchEngine(spark, root)
+    assert eng.documents().count() == t.count()
+
+    batch_root = str(tmp_path / "full_idx")
+    B.build_index(spark, t, batch_root)
+    beng = SearchEngine(spark, batch_root)
+    for query in ({"or": {"text": "banana"}},
+                  {"and": {"text": "apple", "not": {"text": "apples"}}}):
+        got = eng.topk(query, k=5)
+        want = beng.topk(query, k=5)
+        assert [key for key, _ in got] == [key for key, _ in want]
+        assert got == pytest.approx(want)
+
+    # S9: results as JSON, one file, round-trips through spark.read.json
+    res = eng.search({"or": {"text": "banana"}}, k=5)
+    path = str(tmp_path / "results_json")
+    write_results(res, path, fmt="json", single_file=True)
+    back = spark.read.json(path)
+    assert back.count() == res.count()
+    assert set(res.columns) <= set(back.columns)
+    with pytest.raises(ValueError, match="unsupported result format"):
+        write_results(res, path, fmt="csvish")

@@ -135,3 +135,29 @@ def test_build_null_and_empty_text(spark, tmp_path):
     assert eng.doc_count() == 4  # all rows stored
     hits = eng.topk({"or": {"text": "banana"}}, k=5)
     assert [h[0] for h in hits] == [("c2", 1)]
+
+
+def test_cli_write_and_result_sink(spark, transcripts, tmp_path, capsys):
+    """S8 write command (append segment) + S9 --out JSON result sink."""
+    from pyspark.sql import functions as F
+
+    w1 = transcripts.filter(F.col("conv_id") < "conv00000005")
+    w2 = transcripts.filter(F.col("conv_id") >= "conv00000005")
+    src1, src2 = str(tmp_path / "in1"), str(tmp_path / "in2")
+    w1.write.mode("overwrite").parquet(src1)
+    w2.write.mode("overwrite").parquet(src2)
+
+    root = str(tmp_path / "idx")
+    assert cli.main(["build", "--input", src1, "--root", root]) == 0
+    capsys.readouterr()
+    assert cli.main(["write", "--input", src2, "--root", root]) == 0
+    appended = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert appended["segment"] >= 1
+
+    out_path = str(tmp_path / "res_json")
+    assert cli.main(
+        ["search", "--root", root, "--q", '{"or": {"text": "banana"}}',
+         "--k", "3", "--out", out_path]
+    ) == 0
+    back = spark.read.json(out_path)
+    assert back.count() > 0 and "score" in back.columns
