@@ -135,3 +135,60 @@ def test_encode_decode_roundtrip_matches_dict(rows):
     assert out["sum_tf"][0] == sum(v[0] for v in want.values())
     assert out["max_tf"][0] == max(v[0] for v in want.values())
     assert out["min_dl"][0] == min(v[1] for v in want.values())
+
+
+# ---------------------------------------------------------------- vectors
+
+_vec = st.dictionaries(
+    st.integers(min_value=0, max_value=1 << 20),
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False,
+              allow_infinity=False, width=32),
+    max_size=50,
+)
+
+
+@given(_vec)
+@settings(max_examples=200, deadline=None)
+def test_vec_serialize_roundtrip_property(v):
+    from resin_spark import vectorspace as vs
+
+    v32 = {k: float(np.float32(x)) for k, x in v.items()}
+    assert vs.deserialize_vec_py(vs.serialize_vec_py(v32)) == v32
+
+
+@given(_vec, _vec)
+@settings(max_examples=200, deadline=None)
+def test_vec_algebra_properties(a, b):
+    from resin_spark import vectorspace as vs
+
+    # Vector.cs:94-97 Add commutes
+    assert vs.vec_add_py(a, b) == vs.vec_add_py(b, a)
+    # Vector.cs:99-108 Subtract self = empty (CoerceZero drops zeros)
+    assert vs.vec_subtract_py(a, a) == {}
+    # Shift is key-translation only (Vector.cs:143-158)
+    sh = vs.vec_shift_py(a, 7)
+    assert sorted(sh.values()) == sorted(a.values())
+    assert set(sh) == {k + 7 for k in a}
+    # scale by 1 is identity; average(a, a) == a
+    assert vs.vec_scale_py(a, 1.0) == a
+    assert vs.vec_average_py(a, a) == a
+
+
+@given(st.text(max_size=80))
+@settings(max_examples=200, deadline=None)
+def test_cbow_component_mass_invariant(text):
+    """The oracle's invariant: each CBOW vector's component sum equals
+    the lengths of its context tokens (or its own when neighbourless)."""
+    from resin_spark import vectorspace as vs
+    from resin_spark.tokenizer import tokenize_py
+
+    toks = tokenize_py(text)
+    out = vs.cbow_py(text)
+    assert [lab for lab, _ in out] == toks
+    for i, (_lab, vec) in enumerate(out):
+        if len(toks) == 1:
+            want = len(toks[0])
+        else:
+            want = (len(toks[i - 1]) if i > 0 else 0) + (
+                len(toks[i + 1]) if i + 1 < len(toks) else 0)
+        assert vs.map_sum_py(vec) == want
