@@ -33,7 +33,7 @@ def append_docs(spark: SparkSession, batch: DataFrame, root: str,
     existing collection as ONE new index segment (the reference's HTTP
     POST write path runs WriteSession+IndexSession incrementally,
     /root/reference/src/Sir.HttpServer/Controllers/WriteController
-    .cs:24-57 -> Sir.Search/Session/WriteSession.cs:26-38).  Same
+    .cs:31-53 -> Sir.Search/Session/WriteSession.cs:26-38).  Same
     machinery as a streaming micro-batch: conv_dim extends append-only
     (existing doc IDs immutable), segment id = max existing + 1."""
     from resin_spark import build as B
@@ -54,7 +54,7 @@ def write_results(df: DataFrame, path: str, fmt: str = "json",
     """S9 JSON result sink: persist a query result (the reference's HTTP
     surface serializes SearchResult documents as JSON,
     /root/reference/src/Sir.HttpServer/Controllers/SearchController
-    .cs:22-57).  ``single_file`` coalesces to one output part — only for
+    .cs:26-41).  ``single_file`` coalesces to one output part — only for
     top-k-sized results, never corpus-sized frames."""
     if fmt not in ("json", "parquet"):
         raise ValueError(f"unsupported result format: {fmt}")
