@@ -126,3 +126,42 @@ def test_term_directory_matches_metadata(engine):
         .collect()
     }
     assert got == want
+
+
+def test_vectorspace_ops_stay_in_projection(spark):
+    """T7/T3 plan gates: sparse arithmetic and CBOW are single
+    Catalyst projections — no shuffle (Exchange), no Python (UDF
+    nodes like BatchEvalPython / ArrowEvalPython / FlatMapsInPandas)."""
+    from resin_spark import vectorspace as vs
+
+    df = spark.createDataFrame(
+        [([1.0, 0.0, 2.0],)], "embedding array<float>"
+    )
+    m = vs.to_sparse(F.col("embedding"))
+    arith = df.select(
+        vs.map_sum(vs.vec_average(vs.vec_multiply(m, 3.0),
+                                  vs.vec_subtract(m, m))).alias("s")
+    )
+    plan = _plan(arith)
+    assert "Exchange" not in plan and "Python" not in plan
+
+    docs = spark.createDataFrame([("apple banana",)], "text string")
+    cbow = docs.select(vs.cbow_vectors("text").alias("cb"))
+    plan = _plan(cbow)
+    assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_classify_broadcasts_exemplars(spark):
+    """I6 plan gate: classify's exemplar side is a broadcast hash join,
+    never a shuffle of the (streaming-sized) test side."""
+    from resin_spark import vectorspace as vs
+
+    train = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0), (1, [0.0, 1.0], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    test = spark.createDataFrame(
+        [(10, [1.0, 0.1], 9)], "vec_id long, embedding array<float>, label int"
+    )
+    plan = _plan(vs.classify(test, train.select("embedding", "label")))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
