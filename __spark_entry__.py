@@ -482,7 +482,14 @@ def _q_vec_classify(spark, sf):
     ValidateMnistCommand.cs:31-46): train a supervised index on the
     first half of the labeled embeddings, classify the second half by
     best cosine exemplar (broadcast), deterministic (cos, label)
-    tie-break."""
+    tie-break.
+
+    Oracle scope note: the SQL oracle classifies against the RAW train
+    rows; on this fixture (64-dim random floats, no two vectors within
+    1/1024 per-component) the quantized merge provably never fires, so
+    raw == merged and the comparison is exact.  The merge semantics
+    themselves (doc-id union, label-conflict raise) are pytest-covered
+    (test_supervised_merges_doc_ids, test_supervised_label_conflict)."""
     from resin_spark import vectorspace as vs
 
     emb = _emb(spark, sf)

@@ -27,20 +27,44 @@ __all__ = [
 ]
 
 
+# Segment-id namespaces: batch builds take [0, 1000), streaming
+# micro-batches take [1000 + batch_id] (streaming.index_microbatch), and
+# API/CLI appends allocate from APPEND_SEGMENT_BASE upward — disjoint
+# ranges, so a resumed stream can never overwrite an appended segment
+# (and vice versa).
+APPEND_SEGMENT_BASE = 2_000_000
+
+
 def append_docs(spark: SparkSession, batch: DataFrame, root: str,
-                fields: tuple[str, ...] | None = None) -> dict:
+                fields: tuple[str, ...] | None = None,
+                segment: int | None = None) -> dict:
     """S8 write-session analog: append a batch of documents to an
     existing collection as ONE new index segment (the reference's HTTP
     POST write path runs WriteSession+IndexSession incrementally,
     /root/reference/src/Sir.HttpServer/Controllers/WriteController
     .cs:31-53 -> Sir.Search/Session/WriteSession.cs:26-38).  Same
     machinery as a streaming micro-batch: conv_dim extends append-only
-    (existing doc IDs immutable), segment id = max existing + 1."""
-    from resin_spark import build as B
+    (existing doc IDs immutable).
 
+    Idempotence: auto-allocated ids (``segment=None``) take the next
+    free slot in the append namespace — re-running the same call appends
+    the batch AGAIN (duplicate doc_ids, like POSTing twice).  For
+    retry-safe appends pass an explicit ``segment``: if its lineage
+    receipt is already complete the call is a no-op, otherwise the
+    segment is (re)written in place — exactly the streaming micro-batch
+    replay contract."""
     from pyspark.sql import functions as F
 
-    seg = max(B.completed_segments(spark, root), default=-1) + 1
+    from resin_spark import build as B
+
+    done = B.completed_segments(spark, root)
+    if segment is None:
+        seg = max((s for s in done if s >= APPEND_SEGMENT_BASE),
+                  default=APPEND_SEGMENT_BASE - 1) + 1
+    else:
+        seg = int(segment)
+        if seg in done:
+            return {"segment": seg, "skipped": True}
     conv_dim = B.extend_conv_dim(spark, batch, root)
     dl = B._exists(spark, B.p_doclens(root))
     seg_df = batch.withColumn("segment", F.lit(seg))

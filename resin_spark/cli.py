@@ -66,12 +66,11 @@ def cmd_search(args) -> int:
         from resin_spark.resin_score import resin_topk
 
         docs = eng.documents().select("doc_id", "conv_id", "turn_idx", "text")
-        out = resin_topk(eng, args.q, k=args.k)
-        out.join(docs, "doc_id").orderBy("score", ascending=False).show(
-            args.k, truncate=60)
-        return 0
-    q = json.loads(args.q)
-    out = eng.search(q, k=args.k, skip=args.skip)
+        out = (resin_topk(eng, args.q, k=args.k)
+               .join(docs, "doc_id")
+               .orderBy("score", ascending=False))
+    else:
+        out = eng.search(json.loads(args.q), k=args.k, skip=args.skip)
     if args.out:
         # S9 JSON result sink (SearchController serializes results as
         # JSON; here: a file/table sink instead of an HTTP body)
@@ -92,7 +91,8 @@ def cmd_write(args) -> int:
 
     spark = _session(args)
     batch = spark.read.parquet(args.input)
-    print(json.dumps(append_docs(spark, batch, args.root)))
+    print(json.dumps(append_docs(spark, batch, args.root,
+                                 segment=args.segment)))
     return 0
 
 
@@ -155,6 +155,9 @@ def main(argv: list[str] | None = None) -> int:
     w.add_argument("--input", required=True,
                    help="parquet transcript batch to append")
     w.add_argument("--root", required=True)
+    w.add_argument("--segment", type=int, default=None,
+                   help="explicit segment id for retry-safe (idempotent) "
+                        "appends; auto-allocated when omitted")
 
     o = sub.add_parser("optimize")
     o.add_argument("--root", required=True)

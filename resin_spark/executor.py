@@ -720,7 +720,15 @@ class SearchEngine:
         }
         if query is not None:
             q = parse_query(query) if isinstance(query, dict) else query
-            plan = self.search(q, k=10)
+            # the reported plan must show the FULL pipeline (postings
+            # scan, scoring, fetch join), and diagnostics must not pay a
+            # top-k execution — bypass the eager point-fetch gate via an
+            # instance attribute that shadows the class threshold
+            self._POINT_FETCH_MIN_DOCS_BYTES = 1 << 62
+            try:
+                plan = self.search(q, k=10)
+            finally:
+                del self._POINT_FETCH_MIN_DOCS_BYTES
             out["plan"] = plan._jdf.queryExecution().executedPlan().toString()
         return out
 

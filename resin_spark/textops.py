@@ -38,8 +38,10 @@ def html_text_col(html: Column | str,
     regexes (codegen), whitespace collapsed."""
     c = F.col(html) if isinstance(html, str) else html
     alts = "|".join(no_tags)
+    # close on a BACKREFERENCE (</\1>), not the alternation: a stray
+    # </style> inside a <script> block must not terminate the script
     no_block = F.regexp_replace(
-        c, f"(?is)<({alts})\\b[^>]*>.*?(</({alts})\\s*>|$)", " "
+        c, f"(?is)<({alts})\\b[^>]*>.*?(</\\1\\s*>|$)", " "
     )
     stripped = F.regexp_replace(no_block, "(?s)<[^>]*>", " ")
     return F.trim(F.regexp_replace(stripped, r"\s+", " "))
@@ -50,7 +52,7 @@ def html_text_py(html: str, no_tags: tuple[str, ...] = ("script", "style")) -> s
     import re
 
     alts = "|".join(no_tags)
-    out = re.sub(f"(?is)<({alts})\\b[^>]*>.*?(</({alts})\\s*>|$)", " ", html)
+    out = re.sub(f"(?is)<({alts})\\b[^>]*>.*?(</\\1\\s*>|$)", " ", html)
     out = re.sub("(?s)<[^>]*>", " ", out)
     return re.sub(r"\s+", " ", out).strip()
 

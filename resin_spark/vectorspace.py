@@ -303,7 +303,8 @@ def cos_serialized_col(query_vec: dict, buf: Column | str) -> Column:
     packed (indices,values) form per row; the query stays in memory.
     Arrow-batched numpy — no per-row python object churn."""
     q_norm = math.sqrt(sum(v * v for v in query_vec.values())) or 1.0
-    q = {int(k): float(v) for k, v in query_vec.items()}
+    q_idx = np.asarray(sorted(query_vec), dtype=np.int64)
+    q_val = np.asarray([float(query_vec[k]) for k in sorted(query_vec)])
 
     @F.pandas_udf("double")
     def _cos(bufs: pd.Series) -> pd.Series:
@@ -311,13 +312,16 @@ def cos_serialized_col(query_vec: dict, buf: Column | str) -> Column:
             if b is None:
                 return None
             n = len(b) // 8
-            idx = np.frombuffer(b[: 4 * n], dtype="<i4")
+            idx = np.frombuffer(b[: 4 * n], dtype="<i4").astype(np.int64)
             val = np.frombuffer(b[4 * n:], dtype="<f4").astype(np.float64)
-            dot = 0.0
-            for i in range(n):  # ascending stored order
-                qv = q.get(int(idx[i]))
-                if qv is not None:
-                    dot += qv * val[i]
+            # vectorized sparse dot: binary-search stored indices against
+            # the sorted query indices (no per-component python loop)
+            if len(q_idx) and n:
+                pos = np.clip(np.searchsorted(q_idx, idx), 0, len(q_idx) - 1)
+                hit = q_idx[pos] == idx
+                dot = float((q_val[pos[hit]] * val[hit]).sum())
+            else:
+                dot = 0.0
             nrm = math.sqrt(float((val * val).sum()))
             return dot / (q_norm * nrm) if nrm else None
 
@@ -435,6 +439,8 @@ def supervised_index(
     doc ids — but ONLY under the same label; a label conflict raises,
     mirroring the reference's InvalidOperationException
     (GraphBuilder.cs:36-39).  One shuffle on the identity key."""
+    from pyspark import StorageLevel
+
     merged = (
         df.groupBy(_quant_key(vec).alias("vkey"))
         .agg(
@@ -442,9 +448,14 @@ def supervised_index(
             F.collect_set(label).alias("_labels"),
             F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
         )
+        # persist: the conflict probe below materializes the merge once;
+        # without it every downstream use (classify, write) would pay the
+        # identity-key shuffle a second time
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     bad = merged.filter(F.size("_labels") > 1).limit(1).collect()
     if bad:
+        merged.unpersist()
         raise ValueError(
             "IdenticalAngle too low: identical vectors carry labels "
             f"{sorted(bad[0]['_labels'])} (GraphBuilder.cs:36-39 analog)"

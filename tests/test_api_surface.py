@@ -237,3 +237,31 @@ def test_append_docs_and_write_results(spark, tmp_path):
     assert set(res.columns) <= set(back.columns)
     with pytest.raises(ValueError, match="unsupported result format"):
         write_results(res, path, fmt="csvish")
+
+
+def test_append_docs_explicit_segment_is_idempotent(spark, tmp_path):
+    """Retry contract: an explicit segment id re-append is a no-op once
+    its lineage receipt is complete (streaming replay semantics), and
+    auto-allocated appends live in their own id namespace (no collision
+    with streaming's segment_base range)."""
+    from resin_spark import build as B
+    from resin_spark.api import APPEND_SEGMENT_BASE, append_docs
+    from resin_spark.executor import SearchEngine
+    from resin_spark.fixtures import transcripts_df
+    from pyspark.sql import functions as F
+
+    t = transcripts_df(spark, n_convs=10, max_turns=3)
+    w1 = t.filter(F.col("conv_id") < "conv00000005")
+    w2 = t.filter(F.col("conv_id") >= "conv00000005")
+    root = str(tmp_path / "idem_idx")
+    B.build_index(spark, w1, root)
+
+    first = append_docs(spark, w2, root, segment=APPEND_SEGMENT_BASE)
+    assert first == {"segment": APPEND_SEGMENT_BASE}
+    n = SearchEngine(spark, root).documents().count()
+    retry = append_docs(spark, w2, root, segment=APPEND_SEGMENT_BASE)
+    assert retry["skipped"] is True
+    assert SearchEngine(spark, root).documents().count() == n == t.count()
+
+    auto = append_docs(spark, w2.limit(3), root)
+    assert auto["segment"] == APPEND_SEGMENT_BASE + 1

@@ -161,3 +161,18 @@ def test_cli_write_and_result_sink(spark, transcripts, tmp_path, capsys):
     ) == 0
     back = spark.read.json(out_path)
     assert back.count() > 0 and "score" in back.columns
+
+
+def test_cli_resin_model_honors_out(spark, transcripts, tmp_path, capsys):
+    src = str(tmp_path / "in")
+    transcripts.write.mode("overwrite").parquet(src)
+    root = str(tmp_path / "idx")
+    assert cli.main(["build", "--input", src, "--root", root]) == 0
+    capsys.readouterr()
+    out_path = str(tmp_path / "resin_res")
+    assert cli.main(
+        ["search", "--root", root, "--q", "banana", "--model", "resin",
+         "--k", "3", "--out", out_path]
+    ) == 0
+    back = spark.read.json(out_path)
+    assert back.count() > 0 and "score" in back.columns

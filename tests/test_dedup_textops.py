@@ -143,6 +143,13 @@ def test_html_text_extract(spark):
     assert "Hello world !" in got or "Hello world!" in got.replace(" !", "!")
     assert "script" not in got and "color" not in got and "var a" not in got
     assert "Second line" in got
+    # a stray </style> inside <script> must NOT close the script block
+    # (backreference close, YesNoParser never exits mid-element either)
+    tricky = "<script>var x=1;</style>LEAKED</script><p>hi</p>"
+    assert textops.html_text_py(tricky) == "hi"
+    df2 = spark.createDataFrame([(tricky,)], "html string")
+    got2 = df2.select(textops.html_text_col("html").alias("t")).collect()[0]["t"]
+    assert got2 == "hi"
 
 
 def test_token_counts(spark, docs):
