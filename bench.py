@@ -440,7 +440,8 @@ fabric instead.
 Avg: {r['query_latency_avg_sec']:.3f} s.  Reference claims "sub-second"
 phrase queries on a ~6M-doc corpus single-node (README.md:34); per-query
 Spark job overhead dominates at this scale.  Multi-term boolean queries
-run the mask-fold path: 2 Spark jobs per query (mask histogram + top-k),
+run the mask-fold path: 2 data-bearing jobs per query (mask histogram +
+top-k; Spark's broadcast/metadata helper actions touch only k-row frames),
 one shuffle over matched postings (executor.py).
 
 ## Block-max WAND pruning

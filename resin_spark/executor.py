@@ -272,8 +272,10 @@ class SearchEngine:
           CLASSES (docs with identical term membership behave
           identically), where emptiness decisions are exact set checks —
           no per-merge isEmpty probe jobs, no iterated self-joins.  Two
-          Spark jobs per query total (mask histogram + top-k), one
-          shuffle over matched postings.
+          jobs touch scored DATA per query (mask histogram + top-k) with
+          one shuffle over matched postings; the remaining Spark-side
+          actions are metadata/k-row sized (df lookup on the cached term
+          directory, broadcast exchange of the top-k frame).
         * single-term queries stream straight through (df off the block
           metadata, no aggregation); pathological shapes (> 63 unique
           keys, > 4096 mask classes) fall back to the iterated-join fold.
