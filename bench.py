@@ -416,11 +416,11 @@ run recorded 2026-08-17 with the current code; reproduce with
 
 | stage | local[1] wall | local[4] wall | eff | cpu(1) -> cpu(4) |
 |---|---|---|---|---|
-| conv_dim (distinct+sort+zipWithIndex+write) | 14.4 s | 6.2 s | 0.58 (tiny, 5% of wall) | — |
-| docs shuffle map (scan+project, 614 MB) | 12.1 s | 3.9 s | 0.78 | 12 s -> 15 s |
-| docs sort + parquet write | 16.7 s | 6.2 s | 0.67 | 17 s -> 17 s |
-| tokenize map (regex, codegen, 1 GB shuffle write) | 106.7 s | 29.4 s | **0.91** | 105 s -> 97 s (none) |
-| shuffle-read + sort + encode + zstd write | 149.0 s | 53.7 s | 0.69 | 147 s -> 211 s (1.44x) |
+| conv_dim (distinct+sort+zipWithIndex+write) | 14.2 s | 6.0 s | 0.59 (tiny, 5% of wall) | — |
+| docs shuffle map (scan+project, 614 MB) | 12.1 s | 3.5 s | 0.86 | 12 s -> 13 s |
+| docs sort + parquet write | 15.7 s | 5.8 s | 0.68 | 15 s -> 16 s |
+| tokenize map (regex, codegen, 1 GB shuffle write) | 103.8 s | 31.9 s | **0.81** | 102 s -> 105 s (none) |
+| shuffle-read + sort + encode + zstd write | 136.1 s | 50.0 s | 0.68 | 133 s -> 193 s (1.46x) |
 | driver gaps (non-stage wall) | ~2.0 s | ~2.0 s | — | — |
 
 No stage is serial (every stage runs `cores` tasks; driver gaps are ~2 s
