@@ -436,6 +436,21 @@ def _q_ann_topk(spark, sf):
     )
 
 
+def _q_dedup_components(spark, sf):
+    """Near-dup clustering: connected components (min-label propagation)
+    over the exact-Jaccard duplicate pairs; component = min doc_id,
+    keep = canonical doc.  The step after pair generation in any real
+    dedup pipeline (cluster -> keep one)."""
+    from resin_spark import dedup
+
+    docs = _docs(spark, sf)
+    pairs = dedup.jaccard_pairs(docs, k=3, threshold=0.6)
+    return (
+        dedup.connected_components(docs, pairs)
+        .orderBy("doc_id")
+    )
+
+
 def _q_vec_arith(spark, sf):
     """T7 sparse-vector arithmetic (Vector.cs:88-158 rebuilt as map
     HOFs): for each embedding a (sparse form m) and its reverse b,
@@ -538,6 +553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": _q_simhash_pairs,
         "emb_ann_topk": _q_ann_topk,
         "dedup_emb_neardup": _q_emb_neardup,
+        "dedup_components": _q_dedup_components,
         # vector-space ops (SURVEY §2 T3/T7/I6, resin_spark/vectorspace.py)
         "vec_sparse_arith": _q_vec_arith,
         "text_cbow": _q_text_cbow,
@@ -654,6 +670,35 @@ FROM pairs p JOIN bands x ON x.doc_id = p.id_a JOIN bands y ON y.doc_id = p.id_b
 WHERE ({ham}) <= {max_hamming}
 ORDER BY id_a, id_b
 """
+
+
+# shared CTE chain: exact n-gram Jaccard duplicate pairs (k=3 shingles,
+# df cap 1000 mirroring resin_spark.dedup.jaccard_pairs, threshold 0.6);
+# `jp` is the verified pair set consumed by both dedup oracles
+_JACCARD_CTES = f"""t AS (SELECT doc_id, {TOKS} AS t FROM documents),
+sh AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+         i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS shs
+  FROM t
+),
+ex0 AS (SELECT doc_id, unnest(shs) AS sh FROM sh),
+-- mirror resin_spark.dedup.jaccard_pairs' shingle document-frequency cap
+-- (max_df=1000): drop stopword shingles before the inverted-index join
+cold AS (SELECT sh FROM ex0 GROUP BY sh HAVING count(*) <= 1000),
+ex AS (SELECT ex0.* FROM ex0 JOIN cold USING (sh)),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM ex GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS ni
+  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jp AS (
+  SELECT id_a, id_b, round(ni / (sa.n + sb.n - ni), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE ni / (sa.n + sb.n - ni) >= 0.6
+)"""
 
 
 def _resin_cosine_sql(token: str, k: int = 10) -> str:
@@ -939,29 +984,25 @@ FROM tf JOIN dl USING (doc_id) CROSS JOIN st CROSS JOIN nm
 ORDER BY score DESC, tf.doc_id ASC LIMIT 10
 """,
         "dedup_ngram_jaccard": f"""
-WITH t AS (SELECT doc_id, {TOKS} AS t FROM documents),
-sh AS (
-  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
-         i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS shs
-  FROM t
+WITH {_JACCARD_CTES}
+SELECT id_a, id_b, jaccard FROM jp ORDER BY id_a, id_b
+""",
+        # components over the same verified pairs: transitive closure by
+        # recursive CTE, component = min reachable doc_id (mirrors
+        # dedup.connected_components' min-label fixpoint)
+        "dedup_components": f"""
+WITH RECURSIVE {_JACCARD_CTES},
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM jp
+  UNION SELECT id_b, id_a FROM jp
 ),
-ex0 AS (SELECT doc_id, unnest(shs) AS sh FROM sh),
--- mirror resin_spark.dedup.jaccard_pairs' shingle document-frequency cap
--- (max_df=1000): drop stopword shingles before the inverted-index join
-cold AS (SELECT sh FROM ex0 GROUP BY sh HAVING count(*) <= 1000),
-ex AS (SELECT ex0.* FROM ex0 JOIN cold USING (sh)),
-sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM ex GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS ni
-  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
+reach(a, b) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b
 )
-SELECT id_a, id_b, round(ni / (sa.n + sb.n - ni), 6) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = id_a
-JOIN sizes sb ON sb.doc_id = id_b
-WHERE ni / (sa.n + sb.n - ni) >= 0.6
-ORDER BY id_a, id_b
+SELECT a AS doc_id, min(b) AS component, (a = min(b)) AS keep
+FROM reach GROUP BY a ORDER BY doc_id
 """,
         "dedup_minhash_pairs": _minhash_sql(n_hashes=16, bands=8, k=3),
         "dedup_simhash_pairs": _simhash_sql(max_hamming=10),

@@ -318,3 +318,84 @@ def simhash_candidates(df: DataFrame, key: str = "doc_id", text: str = "text",
     return pairs.select("id_a", "id_b", ham.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+def connected_components(nodes: DataFrame, pairs: DataFrame,
+                         key: str = "doc_id",
+                         id_a: str = "id_a", id_b: str = "id_b",
+                         max_iter: int = 30) -> DataFrame:
+    """Near-duplicate CLUSTERING: connected components over verified
+    duplicate pairs, component id = min doc id in the component (the
+    step every real dedup pipeline runs after pair generation — keep one
+    canonical doc per cluster, drop the rest).
+
+    Spark-first large-star/min-label propagation: every node starts
+    labeled with itself; each round, a node adopts the minimum label in
+    its closed neighbourhood; stop when a round changes nothing.  Rounds
+    needed = graph diameter (near-dup clusters are shallow — a handful
+    of rounds), each round = one join + one aggregation on the EDGE
+    list, never an all-pairs product, so it scales with |edges|.  The
+    convergence probe is one tiny count per round (bounded by
+    ``max_iter``).
+
+    Returns (key, component, keep): ``keep`` marks the canonical doc
+    (doc_id == component).  Isolated docs form singleton components.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"),
+                            F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = nodes.select(F.col(key).alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(max_iter):
+        # min label over the closed neighbourhood (self + neighbours)
+        neigh = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .select(F.col("src").alias("node"), "label")
+        )
+        new_labels = (
+            labels.select("node", "label").union(neigh)
+            .groupBy("node").agg(F.min("label").alias("label"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter)"
+        )
+    return labels.select(
+        F.col("node").alias(key),
+        F.col("label").alias("component"),
+        (F.col("node") == F.col("label")).alias("keep"),
+    )
+
+
+def components_py(node_ids: list, pairs: list[tuple]) -> dict:
+    """Pure-python twin (union-find) of connected_components."""
+    parent = {n: n for n in node_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in node_ids}

@@ -259,3 +259,31 @@ def test_cosine_neardup_pairs(spark, embeddings):
              similarity.cosine_neardup_pairs(df, threshold=0.95).collect()}
     assert (0, 1) in pairs and (0, 2) in pairs
     assert all(a < b for a, b in pairs)
+
+
+def test_connected_components_chain_and_singletons(spark):
+    """Min-label propagation: a 6-node chain collapses to one component
+    (requires multiple propagation rounds), isolated nodes stay
+    singletons, keep marks exactly the min doc of each cluster."""
+    nodes = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    chain = [(i, i + 1) for i in range(5)]          # 0-1-2-3-4-5
+    extra = [(7, 8)]
+    pairs = spark.createDataFrame(chain + extra, "id_a long, id_b long")
+    got = {r["doc_id"]: (r["component"], r["keep"])
+           for r in dedup.connected_components(nodes, pairs).collect()}
+    want = dedup.components_py(list(range(10)), chain + extra)
+    assert {k: v[0] for k, v in got.items()} == want
+    assert got[0] == (0, True) and got[5] == (0, False)
+    assert got[6] == (6, True)
+    assert got[7] == (7, True) and got[8] == (7, False)
+    # exactly one keeper per component
+    keepers = [k for k, (c, keep) in got.items() if keep]
+    assert sorted(keepers) == sorted(set(c for c, _ in got.values()))
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(4)],
+                                  "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(nodes, pairs, max_iter=1)
