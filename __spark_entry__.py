@@ -821,23 +821,29 @@ WHERE cosine >= {threshold} ORDER BY id_a, id_b
 """
 
 
+# derived from the ONE source of truth (textops.STOPWORDS) so the SQL
+# oracle can never drift from the Spark implementation
+from resin_spark.textops import STOPWORDS as _STOPWORDS  # noqa: E402
+
 _STOP = {
-    "en": "('the','a','of','and','to','in','is','it','that','for')",
-    "es": "('el','la','de','que','y','en','un','una','es','por')",
-    "fr": "('le','la','de','et','un','une','est','que','pour','dans')",
-    "de": "('der','die','das','und','ist','ein','eine','zu','mit','von')",
+    lang: "(" + ",".join(f"'{w}'" for w in words) + ")"
+    for lang, words in _STOPWORDS.items()
 }
 _LANG_HITS = ", ".join(
     f"len(list_filter({TOKS}, x -> x IN {words})) AS {lang}"
     for lang, words in _STOP.items()
 )
-_LANG_CASE = """
-CASE WHEN en > 0 AND en >= es AND en >= fr AND en >= de THEN 'en'
-     WHEN es > 0 AND es > en AND es >= fr AND es >= de THEN 'es'
-     WHEN fr > 0 AND fr > en AND fr > es AND fr >= de THEN 'fr'
-     WHEN de > 0 AND de > en AND de > es AND de > fr THEN 'de'
-     ELSE 'und' END
-"""
+# first-argmax tie-break, mirroring lang_id_col's strict-> replacement:
+# language i wins iff its score > 0, strictly beats every EARLIER
+# language and ties-or-beats every LATER one
+_langs = list(_STOP)
+_LANG_CASE = "CASE " + "\n     ".join(
+    f"WHEN {l} > 0"
+    + "".join(f" AND {l} > {m}" for m in _langs[:i])
+    + "".join(f" AND {l} >= {m}" for m in _langs[i + 1:])
+    + f" THEN '{l}'"
+    for i, l in enumerate(_langs)
+) + "\n     ELSE 'und' END"
 
 
 def oracle_sql() -> dict[str, str]:

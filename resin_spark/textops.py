@@ -16,12 +16,24 @@ from pyspark.sql import functions as F
 
 from resin_spark.tokenizer import tokens_col
 
-# minimal deterministic stopword profiles for the language heuristic
+# deterministic stopword profiles for the language heuristic.  Order
+# matters: argmax ties resolve to the EARLIER language (lang_id_col's
+# strict-> replacement), so the original four keep their precedence and
+# the added languages only win on a strictly higher hit count.
 STOPWORDS = {
     "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
     "es": ["el", "la", "de", "que", "y", "en", "un", "una", "es", "por"],
     "fr": ["le", "la", "de", "et", "un", "une", "est", "que", "pour", "dans"],
     "de": ["der", "die", "das", "und", "ist", "ein", "eine", "zu", "mit", "von"],
+    "it": ["il", "di", "che", "e", "non", "per", "sono", "mi", "ma", "si"],
+    "pt": ["o", "os", "do", "da", "em", "com", "não", "uma", "para", "mais"],
+    "nl": ["het", "een", "van", "ik", "dat", "niet", "op", "aan", "met", "je"],
+    "sv": ["och", "att", "det", "som", "en", "av", "är", "den", "inte", "jag"],
+    "da": ["og", "at", "til", "er", "på", "ikke", "jeg", "har", "vi", "med"],
+    "pl": ["nie", "się", "na", "co", "jest", "do", "tak", "jak", "ale", "po"],
+    "tr": ["bir", "ve", "bu", "ne", "için", "ile", "çok", "ama", "ben", "gibi"],
+    "id": ["yang", "dan", "di", "itu", "dengan", "untuk", "tidak", "ini",
+           "dari", "akan"],
 }
 
 # BPE-ish pre-tokenization: letter runs, digit runs, single punct marks
@@ -92,21 +104,29 @@ def quality_columns(df: DataFrame, text: str = "text") -> DataFrame:
 
 def lang_id_col(text: Column | str) -> Column:
     """Heuristic language ID: argmax of stopword hits per language, 'und'
-    when nothing matches.  Deterministic tie-break = language order."""
+    when nothing matches.  Deterministic tie-break = language order
+    (earlier language wins a tie).
+
+    Shape matters: a fold of nested when() chains duplicates every
+    earlier sub-expression twice per step (2^n blow-up — codegen OOMs
+    near a dozen languages); array_max over (score, -order, lang)
+    structs is linear and picks the same first-argmax winner."""
     toks = tokens_col(text)
 
     def hits(words: list[str]):
         # factory, not default-arg lambda: Spark counts lambda params
         return F.size(F.filter(toks, lambda t: t.isin(words)))
 
-    scores = [(lang, hits(words)) for lang, words in STOPWORDS.items()]
-    best = F.lit("und")
-    best_score = F.lit(0)
-    for lang, sc in scores:  # first language wins ties (> not >=)
-        is_better = sc > best_score
-        best = F.when(is_better, F.lit(lang)).otherwise(best)
-        best_score = F.when(is_better, sc).otherwise(best_score)
-    return best
+    entries = [
+        F.struct(
+            hits(words).alias("s"),
+            F.lit(-i).alias("o"),       # ties -> max(-i) = first language
+            F.lit(lang).alias("l"),
+        )
+        for i, (lang, words) in enumerate(STOPWORDS.items())
+    ]
+    best = F.array_max(F.array(*entries))
+    return F.when(best["s"] > 0, best["l"]).otherwise(F.lit("und"))
 
 
 def fingerprint_col(text: Column | str) -> Column:

@@ -287,3 +287,25 @@ def test_connected_components_nonconvergence_raises(spark):
                                   "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup.connected_components(nodes, pairs, max_iter=1)
+
+
+def test_lang_id_twelve_languages(spark):
+    """Expanded stopword profiles: one sentence per language + und +
+    first-language tie precedence (en wins a 0-0... and an equal-hit tie)."""
+    sents = [
+        ("il problema non è che per me ma si vede", "it"),
+        ("o problema não é para os outros com mais", "pt"),
+        ("ik weet niet dat het een goede dag op aan met je is", "nl"),
+        ("och det är inte som jag att en av den", "sv"),
+        ("og det er ikke til at jeg har vi med", "da"),
+        ("nie wiem co to jest ale tak jak się po", "pl"),
+        ("bu bir şey ve ne için ile çok ama ben gibi", "tr"),
+        ("yang itu dan di dengan untuk tidak ini dari akan", "id"),
+        ("the quick brown fox is in the house", "en"),
+        ("der hund und die katze sind zu haus", "de"),
+        ("xyzzy qwerty", "und"),
+        ("the el", "en"),   # 1-1 tie -> earlier language (en) wins
+    ]
+    rows = spark.createDataFrame([(s,) for s, _ in sents], "text string") \
+        .select(textops.lang_id_col("text").alias("l")).collect()
+    assert [r["l"] for r in rows] == [w for _, w in sents]
