@@ -436,6 +436,19 @@ def _q_ann_topk(spark, sf):
     )
 
 
+def _q_gopher_quality(spark, sf):
+    """Gopher-rule quality filter (public heuristics, Rae et al. 2021
+    A1.1): per-doc metrics + pass verdict over the documents table."""
+    from resin_spark import textops
+
+    return (
+        textops.gopher_quality(_docs(spark, sf))
+        .select("doc_id", "g_n_words", "g_mean_word_len", "g_symbol_ratio",
+                "g_bullet_frac", "g_alpha_frac", "g_stop_hits", "gopher_pass")
+        .orderBy("doc_id")
+    )
+
+
 def _q_dedup_components(spark, sf):
     """Near-dup clustering: connected components (min-label propagation)
     over the exact-Jaccard duplicate pairs; component = min doc_id,
@@ -553,6 +566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": _q_simhash_pairs,
         "emb_ann_topk": _q_ann_topk,
         "dedup_emb_neardup": _q_emb_neardup,
+        "text_gopher": _q_gopher_quality,
         "dedup_components": _q_dedup_components,
         # vector-space ops (SURVEY §2 T3/T7/I6, resin_spark/vectorspace.py)
         "vec_sparse_arith": _q_vec_arith,
@@ -913,6 +927,50 @@ WITH hits AS (SELECT doc_id, {_LANG_HITS} FROM documents),
 langs AS (SELECT {_LANG_CASE} AS lang FROM hits)
 SELECT lang, count(*)::BIGINT AS n FROM langs GROUP BY lang
 ORDER BY n DESC, lang ASC
+""",
+        # Gopher rules: identical expression trees (exact-int numerators,
+        # one double division) so ratios are bit-equal before round(6)
+        "text_gopher": f"""
+WITH base AS (
+  SELECT doc_id, coalesce(text, '') AS t,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                     w -> w <> '') AS words,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '\\n'),
+                     l -> trim(l) <> '') AS lines
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+    len(words)::BIGINT AS g_n_words,
+    CASE WHEN len(words) > 0 THEN
+      list_aggregate(list_transform(words, w -> length(w)), 'sum')::DOUBLE
+        / len(words) ELSE 0.0 END AS mw,
+    CASE WHEN len(words) > 0 THEN (
+        (length(t) - length(replace(t, '#', '')))
+        + (length(t) - length(replace(t, '...', ''))) / 3
+        + (length(t) - length(replace(t, '{chr(8230)}', '')))
+      )::DOUBLE / len(words) ELSE 0.0 END AS sr,
+    CASE WHEN len(lines) > 0 THEN
+      len(list_filter(lines, l -> starts_with(trim(l), '-')
+          OR starts_with(trim(l), '*')
+          OR starts_with(trim(l), '{chr(8226)}')))::DOUBLE / len(lines)
+      ELSE 0.0 END AS bf,
+    CASE WHEN len(words) > 0 THEN
+      len(list_filter(words, w -> regexp_matches(w, '\\p{{L}}')))::DOUBLE
+        / len(words) ELSE 0.0 END AS af,
+    len(list_filter({TOKS}, x -> x IN {_STOP['en']}))::BIGINT AS g_stop_hits
+  FROM base JOIN documents USING (doc_id)
+)
+SELECT doc_id, g_n_words,
+       round(mw, 6) AS g_mean_word_len,
+       round(sr, 6) AS g_symbol_ratio,
+       round(bf, 6) AS g_bullet_frac,
+       round(af, 6) AS g_alpha_frac,
+       g_stop_hits,
+       (g_n_words >= 50 AND g_n_words <= 100000
+        AND mw >= 3.0 AND mw <= 10.0 AND sr < 0.1 AND bf < 0.9
+        AND af > 0.8 AND g_stop_hits >= 2) AS gopher_pass
+FROM m ORDER BY doc_id
 """,
         "text_fingerprint": f"""
 SELECT doc_id, md5(array_to_string({TOKS}, ' ')) AS fp

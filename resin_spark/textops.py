@@ -102,6 +102,82 @@ def quality_columns(df: DataFrame, text: str = "text") -> DataFrame:
     )
 
 
+# Gopher quality-rule thresholds (Rae et al. 2021, "Scaling Language
+# Models: ... Gopher", appendix A1.1 — public heuristics)
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_FRAC = 0.9
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.8
+GOPHER_MIN_STOPWORD_HITS = 2
+
+
+def gopher_quality(df: DataFrame, text: str = "text") -> DataFrame:
+    """Gopher-style document quality filter (the published rule set):
+    word count bounds, mean word length bounds, symbol-to-word ratio
+    (# and ellipsis), bullet-line fraction, alphabetic-word fraction,
+    and a minimum of common-English-stopword hits.  Adds the metric
+    columns plus ``gopher_pass``.  Pure Catalyst expressions — one
+    narrow projection, no shuffle, scales with input splits."""
+    c = F.col(text)
+    words = F.split(F.coalesce(c, F.lit("")), r"\s+")
+    words = F.filter(words, lambda w: w != "")
+    n_words = F.size(words)
+    mean_wlen = F.when(
+        n_words > 0,
+        F.aggregate(words, F.lit(0).cast("long"),
+                    lambda acc, w: acc + F.length(w)).cast("double") / n_words,
+    ).otherwise(0.0)
+    n_symbols = (
+        F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+        + (F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))) / 3
+        + F.length(c) - F.length(F.replace(c, F.lit("…"), F.lit("")))
+    )
+    symbol_ratio = F.when(
+        n_words > 0, n_symbols.cast("double") / n_words
+    ).otherwise(0.0)
+    lines = F.filter(F.split(F.coalesce(c, F.lit("")), "\n"),
+                     lambda l: F.trim(l) != "")
+    n_lines = F.size(lines)
+    bullet_frac = F.when(
+        n_lines > 0,
+        F.size(F.filter(
+            lines,
+            lambda l: F.trim(l).startswith("-") | F.trim(l).startswith("*")
+            | F.trim(l).startswith("•"),
+        )).cast("double") / n_lines,
+    ).otherwise(0.0)
+    alpha_frac = F.when(
+        n_words > 0,
+        F.size(F.filter(words, lambda w: w.rlike(r"\p{L}")))
+        .cast("double") / n_words,
+    ).otherwise(0.0)
+    stop_hits = F.size(
+        F.filter(tokens_col(text), lambda t: t.isin(STOPWORDS["en"]))
+    )
+    ok = (
+        (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+        & (mean_wlen >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (mean_wlen <= GOPHER_MAX_MEAN_WORD_LEN)
+        & (symbol_ratio < GOPHER_MAX_SYMBOL_RATIO)
+        & (bullet_frac < GOPHER_MAX_BULLET_FRAC)
+        & (alpha_frac > GOPHER_MIN_ALPHA_WORD_FRAC)
+        & (stop_hits >= GOPHER_MIN_STOPWORD_HITS)
+    )
+    return df.select(
+        "*",
+        n_words.cast("long").alias("g_n_words"),
+        F.round(mean_wlen, 6).alias("g_mean_word_len"),
+        F.round(symbol_ratio, 6).alias("g_symbol_ratio"),
+        F.round(bullet_frac, 6).alias("g_bullet_frac"),
+        F.round(alpha_frac, 6).alias("g_alpha_frac"),
+        stop_hits.cast("long").alias("g_stop_hits"),
+        ok.alias("gopher_pass"),
+    )
+
+
 def lang_id_col(text: Column | str) -> Column:
     """Heuristic language ID: argmax of stopword hits per language, 'und'
     when nothing matches.  Deterministic tie-break = language order

@@ -309,3 +309,30 @@ def test_lang_id_twelve_languages(spark):
     rows = spark.createDataFrame([(s,) for s, _ in sents], "text string") \
         .select(textops.lang_id_col("text").alias("l")).collect()
     assert [r["l"] for r in rows] == [w for _, w in sents]
+
+
+def test_gopher_quality_rules(spark):
+    """Each Gopher rule trips on a crafted doc; a normal doc passes."""
+    good = ("the quick brown fox jumps over the lazy dog and then it runs "
+            "far away into the green forest where many animals live today "
+            "because the weather is warm and the food is good for all of "
+            "them so they stay there for a long time and play many games "
+            "under the old trees near the quiet river bank")
+    short = "too short to pass"
+    bullets = "\n".join(f"- item {i} in the list of the day" for i in range(20))
+    symbols = " ".join(["the#tag"] * 30 + ["of", "and"] * 15)
+    nonalpha = " ".join(["12345"] * 60 + ["the", "of"])
+    df = spark.createDataFrame(
+        [(0, good), (1, short), (2, bullets), (3, symbols), (4, nonalpha)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in textops.gopher_quality(df).collect()}
+    assert rows[0]["gopher_pass"] is True
+    assert rows[1]["gopher_pass"] is False          # < 50 words
+    assert rows[2]["gopher_pass"] is False          # bullet fraction 1.0
+    assert rows[2]["g_bullet_frac"] == 1.0
+    assert rows[3]["gopher_pass"] is False          # symbol ratio >= 0.1
+    assert rows[3]["g_symbol_ratio"] >= 0.1
+    assert rows[4]["gopher_pass"] is False          # alpha fraction <= 0.8
+    assert rows[4]["g_alpha_frac"] <= 0.8
+    assert rows[0]["g_stop_hits"] >= 2
