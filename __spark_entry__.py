@@ -436,6 +436,27 @@ def _q_ann_topk(spark, sf):
     )
 
 
+def _q_stream_window_counts(spark, sf):
+    """Event-time tumbling-window aggregation (the batch form of the
+    streaming operator — same expression runs under a watermark on a
+    stream) over the events table."""
+    from resin_spark.streaming import windowed_event_counts
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return windowed_event_counts(ev, window="1 hour").orderBy(
+        "win_start", "event_type"
+    )
+
+
+def _q_stream_sessions(spark, sf):
+    """Gap-based sessionization (session_window, 30-min gap) per user
+    over the events table — batch form of the streaming operator."""
+    from resin_spark.streaming import sessionize
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return sessionize(ev, gap="30 minutes").orderBy("user_id", "sess_start")
+
+
 def _q_gopher_quality(spark, sf):
     """Gopher-rule quality filter (public heuristics, Rae et al. 2021
     A1.1): per-doc metrics + pass verdict over the documents table."""
@@ -567,6 +588,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ann_topk": _q_ann_topk,
         "dedup_emb_neardup": _q_emb_neardup,
         "text_gopher": _q_gopher_quality,
+        "stream_window_counts": _q_stream_window_counts,
+        "stream_sessions": _q_stream_sessions,
         "dedup_components": _q_dedup_components,
         # vector-space ops (SURVEY §2 T3/T7/I6, resin_spark/vectorspace.py)
         "vec_sparse_arith": _q_vec_arith,
@@ -927,6 +950,37 @@ WITH hits AS (SELECT doc_id, {_LANG_HITS} FROM documents),
 langs AS (SELECT {_LANG_CASE} AS lang FROM hits)
 SELECT lang, count(*)::BIGINT AS n FROM langs GROUP BY lang
 ORDER BY n DESC, lang ASC
+""",
+        # tumbling windows align to the epoch in both engines; session
+        # boundaries compare MICROSECOND integers (epoch_us), the same
+        # exact arithmetic session_window uses internally
+        "stream_window_counts": """
+SELECT ((epoch_us(ts) // 3600000000) * 3600)::BIGINT AS win_start,
+       event_type, count(*)::BIGINT AS n
+FROM events GROUP BY 1, 2 ORDER BY win_start, event_type
+""",
+        "stream_sessions": """
+WITH e AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events
+),
+m AS (
+  SELECT user_id, ts,
+         CASE WHEN prev IS NULL
+                   OR epoch_us(ts) - epoch_us(prev) >= 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM e
+),
+s AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+)
+SELECT user_id, (epoch_us(min(ts)) // 1000000)::BIGINT AS sess_start,
+       count(*)::BIGINT AS n_events
+FROM s GROUP BY user_id, sid ORDER BY user_id, sess_start
 """,
         # Gopher rules: identical expression trees (exact-int numerators,
         # one double division) so ratios are bit-equal before round(6)

@@ -103,3 +103,62 @@ def stream_index(
     else:
         writer = writer.trigger(processingTime="30 seconds")
     return writer.start()
+
+
+def _with_watermark(df: DataFrame, ts: str, watermark: str) -> DataFrame:
+    """Streaming frames get the event-time watermark; withWatermark
+    requires TIMESTAMP, so an NTZ event-time column is cast through the
+    session zone first (batch frames pass through untouched)."""
+    if not df.isStreaming:
+        return df
+    if dict(df.dtypes)[ts] == "timestamp_ntz":
+        df = df.withColumn(ts, F.col(ts).cast("timestamp"))
+    return df.withWatermark(ts, watermark)
+
+
+def _epoch_seconds(c) -> "F.Column":
+    """NTZ-safe epoch seconds: wall-clock minus the epoch wall-clock (a
+    day-time interval cast truncates to whole seconds).  No session-
+    timezone dependence for TIMESTAMP_NTZ inputs; LTZ inputs are first
+    cast to NTZ via the session zone (documented)."""
+    ntz = c.cast("timestamp_ntz")
+    return (ntz - F.expr("timestamp_ntz'1970-01-01 00:00:00'")).cast("long")
+
+
+def windowed_event_counts(df: DataFrame, window: str = "1 hour",
+                          ts: str = "ts", keys: tuple[str, ...] = ("event_type",),
+                          watermark: str = "5 minutes") -> DataFrame:
+    """Event-time tumbling-window aggregation, batch OR streaming: on a
+    streaming frame the watermark bounds state and drops late rows
+    (append mode emits a window only once it is finalized); on a batch
+    frame the same expression computes the full history.  Window starts
+    align to the epoch, so results are engine-independent."""
+    src = _with_watermark(df, ts, watermark)
+    return (
+        src.groupBy(F.window(ts, window).alias("win"), *keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            _epoch_seconds(F.col("win.start")).alias("win_start"),
+            *keys,
+            "n",
+        )
+    )
+
+
+def sessionize(df: DataFrame, key: str = "user_id", gap: str = "30 minutes",
+               ts: str = "ts", watermark: str = "1 hour") -> DataFrame:
+    """Gap-based sessionization via ``session_window`` (merge while the
+    inter-event gap stays strictly under ``gap``), batch OR streaming —
+    the declarative form of the reference-free 'custom stateful
+    operator' (no applyInPandasWithState needed; Spark manages session
+    state + watermark eviction)."""
+    src = _with_watermark(df, ts, watermark)
+    return (
+        src.groupBy(F.col(key), F.session_window(ts, gap).alias("sess"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key,
+            _epoch_seconds(F.col("sess.start")).alias("sess_start"),
+            "n_events",
+        )
+    )
