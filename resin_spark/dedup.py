@@ -373,15 +373,22 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
         if changed == 0:
             break
     else:
+        labels.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
             "(component diameter exceeds max_iter)"
         )
-    return labels.select(
+    # hand the caller ONE persisted frame it can .unpersist() directly
+    # (materialized here, then the loop's working cache is released —
+    # no orphaned cached tables left behind)
+    out = labels.select(
         F.col("node").alias(key),
         F.col("label").alias("component"),
         (F.col("node") == F.col("label")).alias("keep"),
-    )
+    ).persist()
+    out.count()
+    labels.unpersist()
+    return out
 
 
 def components_py(node_ids: list, pairs: list[tuple]) -> dict:

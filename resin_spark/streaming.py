@@ -107,12 +107,21 @@ def stream_index(
 
 def _with_watermark(df: DataFrame, ts: str, watermark: str) -> DataFrame:
     """Streaming frames get the event-time watermark; withWatermark
-    requires TIMESTAMP, so an NTZ event-time column is cast through the
-    session zone first (batch frames pass through untouched)."""
+    requires TIMESTAMP, so an NTZ event-time column is converted to the
+    instant whose UTC wall clock EQUALS the NTZ wall clock —
+    ``convert_timezone('UTC', sessionTz, ntz)`` then cast applies the
+    session zone twice in opposite directions, so the result is
+    session-timezone-independent (incl. DST) and the streaming windows
+    match the batch (NTZ wall-clock) form exactly.  Batch frames pass
+    through untouched."""
     if not df.isStreaming:
         return df
     if dict(df.dtypes)[ts] == "timestamp_ntz":
-        df = df.withColumn(ts, F.col(ts).cast("timestamp"))
+        tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        df = df.withColumn(
+            ts,
+            F.expr(f"cast(convert_timezone('UTC', '{tz}', {ts}) as timestamp)"),
+        )
     return df.withWatermark(ts, watermark)
 
 

@@ -69,6 +69,15 @@ def html_text_py(html: str, no_tags: tuple[str, ...] = ("script", "style")) -> s
     return re.sub(r"\s+", " ", out).strip()
 
 
+def stopword_hits_col(text: Column | str, lang: str = "en") -> Column:
+    """Count of tokens that are stopwords of ``lang`` (the shared
+    expression behind quality_columns, gopher_quality and the SQL
+    oracle's g_stop_hits)."""
+    return F.size(
+        F.filter(tokens_col(text), lambda t: t.isin(STOPWORDS[lang]))
+    )
+
+
 def token_count_col(text: Column | str) -> Column:
     """Whitespace-free token count under the engine tokenizer."""
     return F.size(tokens_col(text))
@@ -87,9 +96,7 @@ def quality_columns(df: DataFrame, text: str = "text") -> DataFrame:
     n_tok = F.size(toks)
     alnum_chars = F.length(F.regexp_replace(F.col(text), r"[^\p{L}\p{N}]", ""))
     punct_chars = F.length(F.regexp_replace(F.col(text), r"[\p{L}\p{N}\s]", ""))
-    stop_hits = F.size(
-        F.filter(toks, lambda t: t.isin(STOPWORDS["en"]))
-    )
+    stop_hits = stopword_hits_col(text)
     return df.select(
         "*",
         F.length(text).alias("n_chars_m"),
@@ -154,9 +161,7 @@ def gopher_quality(df: DataFrame, text: str = "text") -> DataFrame:
         F.size(F.filter(words, lambda w: w.rlike(r"\p{L}")))
         .cast("double") / n_words,
     ).otherwise(0.0)
-    stop_hits = F.size(
-        F.filter(tokens_col(text), lambda t: t.isin(STOPWORDS["en"]))
-    )
+    stop_hits = stopword_hits_col(text)
     ok = (
         (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
         & (mean_wlen >= GOPHER_MIN_MEAN_WORD_LEN)

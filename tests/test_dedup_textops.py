@@ -336,3 +336,21 @@ def test_gopher_quality_rules(spark):
     assert rows[4]["gopher_pass"] is False          # alpha fraction <= 0.8
     assert rows[4]["g_alpha_frac"] <= 0.8
     assert rows[0]["g_stop_hits"] >= 2
+
+
+def test_stopword_table_integrity():
+    """The SQL oracle derives its stopword literals FROM textops.STOPWORDS
+    (no-drift by construction), which means the oracle can no longer
+    catch corruption of the lists themselves — this pin can.  If you
+    changed STOPWORDS on purpose, update the digest AND re-verify the
+    text_langid / text_gopher entries."""
+    import hashlib
+    import json
+
+    digest = hashlib.md5(
+        json.dumps(textops.STOPWORDS, sort_keys=True,
+                   ensure_ascii=False).encode()
+    ).hexdigest()
+    assert digest == "9e7d09438043ed1b526d7be5029224fd"
+    assert list(textops.STOPWORDS)[:4] == ["en", "es", "fr", "de"]
+    assert all(len(v) >= 10 for v in textops.STOPWORDS.values())

@@ -106,13 +106,14 @@ def test_windowed_counts_stream_matches_batch(spark, tmp_path):
         "event_id long, ts timestamp_ntz, event_type string"
     ).parquet(src)
     out = windowed_event_counts(stream, window="1 hour", watermark="5 minutes")
-    assert "EventTimeWatermark" in out.explain if False else True
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "EventTimeWatermark" in plan, plan
     sink = str(tmp_path / "ev_out")
     q = (out.writeStream.outputMode("append")
          .option("checkpointLocation", str(tmp_path / "ev_ckpt"))
          .trigger(availableNow=True)
          .format("parquet").start(sink))
-    q.awaitTermination(120)
+    assert q.awaitTermination(300), "availableNow run did not finish in time"
     # append mode emits only FINALIZED windows: all but the last open one
     batch = windowed_event_counts(
         spark.read.parquet(src), window="1 hour"
