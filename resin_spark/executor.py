@@ -760,12 +760,25 @@ def multi_search(
     keys are (collection, doc) and scores use each collection's own
     stats, exactly as the reference where Terms carry CollectionId and
     the reduce dict is keyed (collectionId, docId) (Term.cs:11,
-    Reducer.cs:9).  Per-collection ranked frames union, then one global
-    top-k (TakeOrderedAndProject)."""
+    Reducer.cs:9).  Per-collection top-k, union, then one global top-k
+    (TakeOrderedAndProject).
+
+    The per-collection ``limit(k)`` BEFORE the docs join is load-bearing
+    at scale: the broadcast side is k rows, never the full ranked frame
+    (a hot-term query over a large collection would otherwise broadcast
+    millions of rows to every executor).  It cannot change results: the
+    global order restricted to one collection is (score desc, doc_id
+    asc) — doc_id order == (conv_id, turn_idx) order by construction
+    (ids.py) — so the global top-k is contained in the union of the
+    per-collection top-k."""
     parts = []
     for name, eng in engines.items():
         q = parse_query(query) if isinstance(query, dict) else query
-        ranked = eng._ranked(q, term_identity)
+        ranked = (
+            eng._ranked(q, term_identity)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
         docs = eng.documents().select("doc_id", "conv_id", "turn_idx")
         parts.append(
             docs.join(F.broadcast(ranked), "doc_id")

@@ -49,14 +49,30 @@ def test_multi_collection_search(spark, transcripts, engine, tmp_path):
     sub = transcripts.filter(F.col("text").contains("banana"))
     build_index(spark, sub, root_b)
     eng_b = SearchEngine(spark, root_b)
-    hits = multi_search({"a": engine, "b": eng_b},
-                        {"or": {"text": "banana"}}, k=20).collect()
+    out = multi_search({"a": engine, "b": eng_b},
+                       {"or": {"text": "banana"}}, k=20)
+    # plan gate: every broadcast side is the k-row per-collection top-k
+    # (TakeOrderedAndProject under the exchange), never the full ranked
+    # frame — a hot-term query must not broadcast millions of rows
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("TakeOrderedAndProject") >= 2
+    hits = out.collect()
     assert hits
     colls = {r["collection"] for r in hits}
     assert colls == {"a", "b"}
     # global ordering by score desc
     scores = [r["score"] for r in hits]
     assert scores == sorted(scores, reverse=True)
+    # byte-identical to the semantic definition: per-collection search
+    # results merged and globally re-ranked in Python
+    want = []
+    for name, eng in (("a", engine), ("b", eng_b)):
+        for (cid, tix), sc in eng.topk({"or": {"text": "banana"}}, k=20):
+            want.append((-sc, name, cid, tix))
+    want = [(n, c, t, -ns) for ns, n, c, t in sorted(want)[:20]]
+    got = [(r["collection"], r["conv_id"], r["turn_idx"], r["score"])
+           for r in hits]
+    assert got == want
 
 
 def test_parse_flat_multi_field():
