@@ -471,7 +471,8 @@ def _q_gopher_quality(spark, sf):
 
 
 def _q_dedup_components(spark, sf):
-    """Near-dup clustering: connected components (min-label propagation)
+    """Near-dup clustering: connected components (alternating
+    large-star/small-star, O(log n) rounds)
     over the exact-Jaccard duplicate pairs; component = min doc_id,
     keep = canonical doc.  The step after pair generation in any real
     dedup pipeline (cluster -> keep one)."""
@@ -1106,8 +1107,8 @@ WITH {_JACCARD_CTES}
 SELECT id_a, id_b, jaccard FROM jp ORDER BY id_a, id_b
 """,
         # components over the same verified pairs: transitive closure by
-        # recursive CTE, component = min reachable doc_id (mirrors
-        # dedup.connected_components' min-label fixpoint)
+        # recursive CTE, component = min reachable doc_id (algorithm-
+        # independent twin of dedup.connected_components' star forest)
         "dedup_components": f"""
 WITH RECURSIVE {_JACCARD_CTES},
 edges AS (

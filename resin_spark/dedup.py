@@ -329,55 +329,91 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
     step every real dedup pipeline runs after pair generation — keep one
     canonical doc per cluster, drop the rest).
 
-    Spark-first large-star/min-label propagation: every node starts
-    labeled with itself; each round, a node adopts the minimum label in
-    its closed neighbourhood; stop when a round changes nothing.  Rounds
-    needed = graph diameter (near-dup clusters are shallow — a handful
-    of rounds), each round = one join + one aggregation on the EDGE
-    list, never an all-pairs product, so it scales with |edges|.  The
-    convergence probe is one tiny count per round (bounded by
-    ``max_iter``).
+    Spark-first alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14): each round
+    rewires edges toward the minimum of a neighbourhood —
+
+    * large-star: every node's strictly-larger neighbours reconnect to
+      the min of its closed neighbourhood;
+    * small-star: every node and its smaller neighbours reconnect to the
+      min of the smaller neighbours.
+
+    Fixed points are exactly forests of stars (child → component-min),
+    reached in **O(log n) rounds** regardless of component diameter —
+    the property plain min-label propagation lacks (it needs
+    diameter-many rounds, so a pathological duplicate *chain* used to
+    hit ``max_iter``).  Each round is two aggregations + two joins on
+    the EDGE list, never an all-pairs product, so it scales with
+    |edges|; the convergence probe is one symmetric-difference
+    emptiness check per round (bounded by ``max_iter``).
 
     Returns (key, component, keep): ``keep`` marks the canonical doc
     (doc_id == component).  Isolated docs form singleton components.
     """
+    # canonical undirected edge set: (hi > lo), loops dropped.
+    # localCheckpoint (not persist) per round: each round's plan
+    # references the previous round's several times (sym reuse + the
+    # symmetric-difference probe), so without lineage truncation the
+    # logical plan grows exponentially and analysis itself OOMs.
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"),
-                            F.col(id_a).alias("dst")))
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .select(F.greatest("a", "b").alias("hi"), F.least("a", "b").alias("lo"))
+        .filter(F.col("hi") != F.col("lo"))
         .distinct()
+        .localCheckpoint()
     )
-    labels = nodes.select(F.col(key).alias("node")).distinct().withColumn(
-        "label", F.col("node")
-    )
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        # Γ(u) from both orientations; m = min(Γ(u) ∪ {u});
+        # emit (v, m) for v ∈ Γ(u), v > u  (every edge is covered via
+        # its smaller endpoint's neighbourhood)
+        sym = e.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(
+            e.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        return (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        # per hi over its smaller neighbours N: m = min(N);
+        # emit (v, m) for v ∈ N ∪ {hi}, loops dropped
+        mins = e.groupBy("hi").agg(F.min("lo").alias("m"))
+        moved = (
+            e.join(mins, "hi")
+            .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+            .filter(F.col("hi") != F.col("lo"))
+        )
+        kept = mins.select(F.col("hi"), F.col("m").alias("lo"))
+        return moved.union(kept).distinct()
+
     for _ in range(max_iter):
-        # min label over the closed neighbourhood (self + neighbours)
-        neigh = (
-            edges.join(labels, edges["dst"] == labels["node"])
-            .select(F.col("src").alias("node"), "label")
-        )
-        new_labels = (
-            labels.select("node", "label").union(neigh)
-            .groupBy("node").agg(F.min("label").alias("label"))
-            .persist()
-        )
+        new_edges = _small_star(_large_star(edges)).localCheckpoint()
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
+            edges.exceptAll(new_edges)
+            .union(new_edges.exceptAll(edges))
             .limit(1)
             .count()
         )
-        labels.unpersist()
-        labels = new_labels
+        edges = new_edges  # old checkpoint freed by the ContextCleaner
         if changed == 0:
             break
     else:
-        labels.unpersist()
         raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds "
-            "(component diameter exceeds max_iter)"
+            f"connected_components did not converge in {max_iter} rounds"
         )
+    # star forest: every non-root appears as hi with its root as lo
+    roots = edges.groupBy("hi").agg(F.min("lo").alias("label"))
+    labels = (
+        nodes.select(F.col(key).alias("node")).distinct()
+        .join(roots, F.col("node") == F.col("hi"), "left")
+        .select("node", F.coalesce("label", F.col("node")).alias("label"))
+    )
     # hand the caller ONE persisted frame it can .unpersist() directly
     # (materialized here, then the loop's working cache is released —
     # no orphaned cached tables left behind)
@@ -387,7 +423,6 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
         (F.col("node") == F.col("label")).alias("keep"),
     ).persist()
     out.count()
-    labels.unpersist()
     return out
 
 

@@ -262,9 +262,9 @@ def test_cosine_neardup_pairs(spark, embeddings):
 
 
 def test_connected_components_chain_and_singletons(spark):
-    """Min-label propagation: a 6-node chain collapses to one component
-    (requires multiple propagation rounds), isolated nodes stay
-    singletons, keep marks exactly the min doc of each cluster."""
+    """A 6-node chain collapses to one component (requires multiple
+    rounds), isolated nodes stay singletons, keep marks exactly the min
+    doc of each cluster."""
     nodes = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
     chain = [(i, i + 1) for i in range(5)]          # 0-1-2-3-4-5
     extra = [(7, 8)]
@@ -279,6 +279,39 @@ def test_connected_components_chain_and_singletons(spark):
     # exactly one keeper per component
     keepers = [k for k, (c, keep) in got.items() if keep]
     assert sorted(keepers) == sorted(set(c for c, _ in got.values()))
+
+
+def test_connected_components_long_chain_logarithmic(spark):
+    """The adversarial shape for min-label propagation: a 256-node path
+    (diameter 255) must converge in O(log n) rounds — max_iter=12 would
+    hard-fail the old diameter-bound algorithm but is ample for
+    alternating large-star/small-star."""
+    n = 256
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)],
+                                  "id_a long, id_b long")
+    out = dedup.connected_components(nodes, pairs, max_iter=12)
+    got = {r["doc_id"]: r["component"] for r in out.collect()}
+    out.unpersist()
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_connected_components_random_vs_union_find(spark):
+    """Property check on an adversarial random graph against the pure
+    union-find twin."""
+    import random
+
+    rng = random.Random(7)
+    n = 120
+    edges = sorted({tuple(sorted((rng.randrange(n), rng.randrange(n))))
+                    for _ in range(150)})
+    edges = [(a, b) for a, b in edges if a != b]
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = dedup.connected_components(nodes, pairs, max_iter=12)
+    got = {r["doc_id"]: r["component"] for r in out.collect()}
+    out.unpersist()
+    assert got == dedup.components_py(list(range(n)), edges)
 
 
 def test_connected_components_nonconvergence_raises(spark):
