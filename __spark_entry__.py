@@ -399,7 +399,8 @@ def _q_emb_neardup(spark, sf):
         # pairwise cosine ~0.51), so a production-style 0.9 threshold
         # returns the empty set; 0.4 exercises the verify path with rows
         similarity.cosine_neardup_pairs(_emb(spark, sf), threshold=0.4,
-                                        n_planes=16, bands=4, max_bucket=2000)
+                                        n_planes=16, bands=4, max_bucket=2000,
+                                        dim=64)
         .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
         .orderBy("id_a", "id_b")
     )
@@ -429,6 +430,27 @@ def _q_ann_topk(spark, sf):
     q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     # margin then round-and-re-rank (see _q_emb_topk)
     out = similarity.ann_topk(emb, [float(x) for x in q], k=100, n_planes=6)
+    return (
+        out.select("vec_id", F.round("cosine", 4).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+def _q_ann_bucketed(spark, sf):
+    """ann_topk over the MATERIALIZED bucket-partitioned layout: same
+    probe set and results as emb_ann_topk, but the probe filter lands on
+    the `bucket` partition column (PartitionFilters — the 100 TB path)."""
+    import tempfile
+
+    from resin_spark import similarity
+
+    emb = _emb(spark, sf)
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    root = tempfile.mkdtemp(prefix="resin_emb_bucketed_")
+    similarity.write_bucketed_embeddings(emb, root, n_planes=6, dim=64)
+    out = similarity.ann_topk_bucketed(spark, root, [float(x) for x in q],
+                                       k=100)
     return (
         out.select("vec_id", F.round("cosine", 4).alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
@@ -587,6 +609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": _q_minhash_pairs,
         "dedup_simhash_pairs": _q_simhash_pairs,
         "emb_ann_topk": _q_ann_topk,
+        "emb_ann_bucketed": _q_ann_bucketed,
         "dedup_emb_neardup": _q_emb_neardup,
         "text_gopher": _q_gopher_quality,
         "stream_window_counts": _q_stream_window_counts,
@@ -783,10 +806,10 @@ ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
 
 
-def _planes_literal(dim: int, n_planes: int) -> str:
+def _planes_literal(dim: int, n_planes: int, tag: str = "plane") -> str:
     from resin_spark.similarity import int_planes
 
-    rows = int_planes(dim, n_planes)
+    rows = int_planes(dim, n_planes, tag=tag)
     return "[" + ", ".join("[" + ", ".join(str(v) for v in p) + "]" for p in rows) + "]"
 
 
@@ -823,29 +846,78 @@ ORDER BY round(cosine, 4) DESC, vec_id ASC LIMIT {k}
 
 
 def _neardup_sql(dim: int = 64, n_planes: int = 16, bands: int = 4,
-                 threshold: float = 0.4, max_bucket: int = 2000) -> str:
+                 threshold: float = 0.4, max_bucket: int = 2000,
+                 resplit_bits: int = 4, resplit_depth: int = 2) -> str:
+    """Mirror of similarity.cosine_neardup_pairs incl. the over-cap
+    re-split (nested keys k0..kD, first under-cap level wins) and the
+    terminal hub-pair fallback — all window functions, independently
+    written DuckDB SQL."""
     bits = n_planes // bands
+    rb = resplit_bits
     band_bucket = " + ".join(
         f"(CASE WHEN list_sum(list_transform(list_zip(q, planes[band*{bits}+{j + 1}]), "
         f"z -> z[1] * z[2])) > 0 THEN {1 << j} ELSE 0 END)"
         for j in range(bits)
     )
+    rs_lits = ", ".join(
+        f"{_planes_literal(dim, bands * rb, tag=f'rs{d}_')} AS rs{d}"
+        for d in range(resplit_depth)
+    )
+    sub_cols = ", ".join(
+        "(" + " + ".join(
+            f"(CASE WHEN list_sum(list_transform(list_zip(q, rs{d}[band*{rb}+{j + 1}]), "
+            f"z -> z[1] * z[2])) > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(rb)
+        ) + f")::BIGINT AS s{d}"
+        for d in range(resplit_depth)
+    )
+    kexpr = "k0"
+    kk_cols = ["k0"]
+    for d in range(resplit_depth):
+        kexpr = f"({kexpr}*{1 << rb} + s{d})"
+        kk_cols.append(f"{kexpr} AS k{d + 1}")
+    levels = list(range(resplit_depth + 1))
+    cnt_cols = ", ".join(
+        f"count(*) OVER (PARTITION BY band, k{d}) AS c{d}" for d in levels
+    )
+    depth_case = " ".join(
+        f"WHEN c{d} <= {max_bucket} THEN {d}" for d in levels)
+    key_case = " ".join(
+        f"WHEN c{d} <= {max_bucket} THEN k{d}" for d in levels)
+    term_cond = " AND ".join(f"c{d} > {max_bucket}" for d in levels)
+    last = resplit_depth
     return f"""
-WITH pl AS (SELECT {_planes_literal(dim, n_planes)} AS planes),
+WITH pl AS (SELECT {_planes_literal(dim, n_planes)} AS planes, {rs_lits}),
 v AS (
   SELECT vec_id, embedding, {_QUANT_SQL} AS q, {_FNORM} AS nrm
   FROM embeddings
 ),
 bb AS (
-  SELECT vec_id, band, ({band_bucket})::BIGINT AS bucket
+  SELECT vec_id, band, ({band_bucket})::BIGINT AS k0, {sub_cols}
   FROM v, pl, (SELECT unnest(range(0, {bands})) AS band) r
 ),
-ok AS (SELECT band, bucket FROM bb GROUP BY 1, 2 HAVING count(*) <= {max_bucket}),
-kept AS (SELECT bb.* FROM bb JOIN ok USING (band, bucket)),
+kk AS (SELECT vec_id, band, {", ".join(kk_cols)} FROM bb),
+cc AS (
+  SELECT vec_id, band, {", ".join(f"k{d}" for d in levels)}, {cnt_cols},
+         min(vec_id) OVER (PARTITION BY band, k{last}) AS hub
+  FROM kk
+),
+asg AS (
+  SELECT vec_id, band,
+         CASE {depth_case} END AS depth,
+         CASE {key_case} END AS keyf,
+         ({term_cond}) AS term, hub
+  FROM cc
+),
 cand AS (
-  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-  FROM kept a JOIN kept b
-    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+  SELECT DISTINCT id_a, id_b FROM (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM asg a JOIN asg b
+      ON a.band = b.band AND a.depth = b.depth AND a.keyf = b.keyf
+     AND a.vec_id < b.vec_id
+    UNION ALL
+    SELECT hub AS id_a, vec_id AS id_b FROM asg WHERE term AND vec_id > hub
+  )
 ),
 cos AS (
   SELECT id_a, id_b,
@@ -1126,6 +1198,7 @@ FROM reach GROUP BY a ORDER BY doc_id
         "dedup_minhash_pairs": _minhash_sql(n_hashes=16, bands=8, k=3),
         "dedup_simhash_pairs": _simhash_sql(max_hamming=10),
         "emb_ann_topk": _ann_sql(dim=64, n_planes=6, k=10),
+        "emb_ann_bucketed": _ann_sql(dim=64, n_planes=6, k=10),
         "dedup_emb_neardup": _neardup_sql(dim=64, n_planes=16, bands=4,
                                           threshold=0.4, max_bucket=2000),
         "emb_cosine_topk": """

@@ -9,7 +9,21 @@
 * embedding-cosine near-duplicate pairs — multi-band hyperplane buckets
   as the blocking key (pairs differing in a few plane bits still collide
   in some band), exact cosine verification inside buckets only, and a
-  per-bucket size cap so a degenerate bucket cannot go O(n^2).
+  per-bucket size cap so a degenerate bucket cannot go O(n^2).  Buckets
+  over the cap are recursively RE-SPLIT on extra hyperplanes (bounded
+  depth); a terminal bucket that still won't split (near-identical
+  vectors agree with every plane) emits hub pairs — each member paired
+  with the bucket's min id — so dense duplicate clusters stay connected
+  for downstream connected-components at linear, not quadratic, cost.
+* materialized bucketed layout (`write_bucketed_embeddings`) — persists
+  bucket as a PARTITION column (plus band/sub-bucket columns and norms),
+  so `ann_topk_bucketed` probes become partition-pruned scans reading
+  ~probes/2^D of the files, and `cosine_neardup_pairs_bucketed` skips
+  recomputing every hyperplane dot product.  This is the 100 TB path —
+  the role of Resin's persisted `.ix` column files
+  (/root/reference/src/Sir.VectorSpace/ColumnReader.cs:37-69), where
+  candidate pruning happens against stored structure, not per-query
+  recomputation.
 
 Hyperplane components are INTEGERS derived from md5 (`int_planes`) and
 embeddings are quantized to integers (`floor(x*1024 + 0.5)`) before the
@@ -26,6 +40,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+from functools import reduce as _functools_reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -131,30 +146,25 @@ def ann_topk(df: DataFrame, qvec: list[float], k: int = 10,
     cosine re-ranking inside.  Scan fraction ~= C(D,<=H)/2^D: D=8, H=1
     scans ~3.5% of the data (recall@10 ~0.75 on clustered corpora), H=2
     scans ~14.5% (recall ~0.9) — recall/cost dial, measured in bench.py.
-    At 100 TB the table is written bucketed by `bucket` so this becomes a
-    partition-pruned scan."""
-    dim = len(qvec)
-    planes = int_planes(dim, n_planes)
-    qb = bucket_py([float(x) for x in qvec], planes)
-    probes = {qb}
-    if multiprobe and probe_hamming >= 1:
-        probes |= {qb ^ (1 << i) for i in range(n_planes)}
-    if multiprobe and probe_hamming >= 2:
-        probes |= {qb ^ (1 << i) ^ (1 << j)
-                   for i in range(n_planes) for j in range(i + 1, n_planes)}
+    At 100 TB use write_bucketed_embeddings + ann_topk_bucketed instead:
+    same probe set, but the filter lands on a partition column so the
+    scan reads only the probed directories."""
+    planes = int_planes(len(qvec), n_planes)
+    probes = ann_probes(qvec, planes, multiprobe, probe_hamming)
     bucketed = df.withColumn("bucket", bucket_col(F.col(vec), planes))
-    cand = bucketed.filter(F.col("bucket").isin(sorted(probes)))
+    cand = bucketed.filter(F.col("bucket").isin(probes))
     return cosine_topk(cand, qvec, k=k, key=key, vec=vec)
 
 
 def neardup_bucket_stats(df: DataFrame, key: str = "vec_id",
                          vec: str = "embedding", n_planes: int = 16,
-                         bands: int = 4) -> DataFrame:
-    """Per-(band, bucket) sizes for cosine_neardup_pairs — the operator's
-    skew metric.  Buckets above the cap show up here even though the pair
-    join drops them (count > max_bucket => that bucket was skipped)."""
+                         bands: int = 4, dim: int | None = None) -> DataFrame:
+    """Per-(band, bucket) level-0 sizes for cosine_neardup_pairs — the
+    operator's skew metric.  Buckets above the cap are no longer dropped
+    (they re-split / fall back to hub pairs) but still show up here as
+    the hotspots that paid the extra split levels."""
     bits = n_planes // bands
-    planes = int_planes(_dim_of(df, vec), n_planes)
+    planes = int_planes(dim or _dim_of(df, vec), n_planes)
     b = df.select(
         F.col(key).alias("id"),
         *_band_cols(F.col(vec), planes, bands, bits),
@@ -164,8 +174,19 @@ def neardup_bucket_stats(df: DataFrame, key: str = "vec_id",
 
 
 def _dim_of(df: DataFrame, vec: str) -> int:
+    """Fallback when no ``dim=`` was passed: one driver ``first()`` to
+    learn the embedding width.  Pass ``dim`` to keep plan construction
+    action-free."""
     first = df.select(F.col(vec).alias("v")).first()
     return len(first["v"]) if first and first["v"] is not None else 2
+
+
+def resplit_planes(dim: int, bands: int, bits: int,
+                   depth: int) -> list[list[list[int]]]:
+    """Per-level re-split hyperplanes: level d uses ``bands*bits`` fresh
+    planes tagged ``rs{d}_`` so sub-buckets are independent of the base
+    band planes (and of each other across levels)."""
+    return [int_planes(dim, bands * bits, tag=f"rs{d}_") for d in range(depth)]
 
 
 def _band_cols(vec_col, planes: list[list[int]], bands: int, bits: int):
@@ -195,49 +216,108 @@ def _explode_bands(b: DataFrame, bands: int) -> DataFrame:
                           F.col("bb.bucket").alias("bucket")])
 
 
-def cosine_neardup_pairs(df: DataFrame, threshold: float = 0.95,
-                         key: str = "vec_id", vec: str = "embedding",
-                         n_planes: int = 16, bands: int = 4,
-                         max_bucket: int = 2000) -> DataFrame:
-    """Embedding near-duplicate pairs, (a < b) ordered, exact-cosine
-    verified.  Blocking: `bands` bands of n_planes/bands hyperplane sign
-    bits each — a pair is a candidate if it collides in ANY band, so
-    near-dups that differ in a couple of plane signs are still found
-    (multi-band = Hamming-tolerant, the fix for single-bucket recall).
-    Buckets larger than `max_bucket` are dropped from the pair join
-    (candidate work per band <= n_buckets * max_bucket^2 / 2 instead of
-    O(n^2)); other bands still cover their pairs, and the dropped buckets
-    are observable via neardup_bucket_stats."""
-    bits = n_planes // bands
-    planes = int_planes(_dim_of(df, vec), n_planes)
-    b = df.select(
-        F.col(key).alias("id"),
-        F.col(vec).alias("v"),
-        _norm(F.col(vec)).alias("nrm"),
-        *_band_cols(F.col(vec), planes, bands, bits),
+def _sub_bucket_cols(vec_col, rs: list[list[list[int]]], bands: int,
+                     bits: int):
+    """Per-(level, band) re-split sub-bucket columns ``s{d}_{band}``
+    (``bits`` sign bits each, from that level's fresh planes)."""
+    qcol = quantize_col(vec_col)
+    cols = []
+    for d, planes in enumerate(rs):
+        for band in range(bands):
+            v = F.lit(0).cast("long")
+            for j in range(bits):
+                p = planes[band * bits + j]
+                v = v.bitwiseOR(
+                    F.when(_int_dot_col(qcol, p) > 0,
+                           F.lit(1 << j).cast("long"))
+                    .otherwise(F.lit(0).cast("long"))
+                )
+            cols.append(v.alias(f"s{d}_{band}"))
+    return cols
+
+
+def _explode_banded_keys(b: DataFrame, bands: int, depth: int,
+                         resplit_bits: int) -> DataFrame:
+    """(id, band, k0..k{depth}) rows from per-band bucket + sub-bucket
+    columns.  Level keys nest: k_{d+1} = k_d * 2^bits + s_d, so two rows
+    share k_{d+1} iff they shared every coarser key — counts at level
+    d+1 partition counts at level d."""
+    structs = []
+    for band in range(bands):
+        fields = [F.lit(band).alias("band"),
+                  F.col(f"b{band}").alias("k0")]
+        prev = F.col(f"b{band}")
+        for d in range(depth):
+            nxt = prev * F.lit(1 << resplit_bits) + F.col(f"s{d}_{band}")
+            fields.append(nxt.alias(f"k{d + 1}"))
+            prev = nxt
+        structs.append(F.struct(*fields))
+    bb = b.select("id", F.explode(F.array(*structs)).alias("bb"))
+    return bb.select(
+        "id", F.col("bb.band").alias("band"),
+        *[F.col(f"bb.k{d}").alias(f"k{d}") for d in range(depth + 1)],
     )
-    bb = _explode_bands(b, bands).select("id", "v", "nrm", "band", "bucket")
-    ok = (
-        bb.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") <= max_bucket)
-        .select("band", "bucket")
+
+
+def _neardup_core(bbk: DataFrame, vdf: DataFrame, depth: int,
+                  threshold: float, max_bucket: int) -> DataFrame:
+    """Shared pair generation + exact-cosine verify.
+
+    ``bbk`` = (id, band, k0..k{depth}) banded keys; ``vdf`` = (id, v,
+    nrm).  Each row's FINAL depth is the first level whose bucket count
+    is <= max_bucket (keys nest, so all members of a bucket move down
+    together); full within-bucket pairs there.  Rows over the cap even
+    at the last level (a dense cluster whose members agree with every
+    split plane) emit HUB pairs — (min id of bucket, member) — keeping
+    the cluster connected at O(n) cost instead of silently dropping it.
+    Window counts/mins run over slim (id, band, key) rows only; the
+    embedding vectors join back by id for the verify step."""
+    from pyspark.sql.window import Window
+
+    cc = bbk
+    for d in range(depth + 1):
+        w = Window.partitionBy("band", f"k{d}")
+        cc = cc.withColumn(f"c{d}", F.count(F.lit(1)).over(w))
+        if d == depth:
+            cc = cc.withColumn("hub", F.min("id").over(w))
+
+    depth_expr = F.lit(None).cast("int")
+    key_expr = F.lit(None).cast("long")
+    for d in range(depth, -1, -1):
+        under = F.col(f"c{d}") <= max_bucket
+        depth_expr = F.when(under, F.lit(d)).otherwise(depth_expr)
+        key_expr = F.when(under, F.col(f"k{d}")).otherwise(key_expr)
+    terminal = _functools_reduce(
+        lambda a, b: a & b,
+        [F.col(f"c{d}") > max_bucket for d in range(depth + 1)],
     )
-    bb = bb.join(F.broadcast(ok), ["band", "bucket"])
-    l, r = bb.alias("l"), bb.alias("r")
-    pairs = (
+    asg = cc.select(
+        "id", "band", depth_expr.alias("depth"), key_expr.alias("keyf"),
+        terminal.alias("term"), "hub",
+    )
+
+    l, r = asg.alias("l"), asg.alias("r")
+    full = (
         l.join(
             r,
             (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.depth") == F.col("r.depth"))
+            & (F.col("l.keyf") == F.col("r.keyf"))
             & (F.col("l.id") < F.col("r.id")),
         )
-        .select(
-            F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
-            F.col("l.v").alias("va"), F.col("r.v").alias("vb"),
-            F.col("l.nrm").alias("na"), F.col("r.nrm").alias("nb"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
     )
+    hubp = (
+        asg.filter(F.col("term") & (F.col("id") > F.col("hub")))
+        .select(F.col("hub").alias("id_a"), F.col("id").alias("id_b"))
+    )
+    cand = full.unionByName(hubp).dropDuplicates(["id_a", "id_b"])
+
+    a = vdf.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                   F.col("nrm").alias("na"))
+    b = vdf.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                   F.col("nrm").alias("nb"))
+    pairs = cand.join(a, "id_a").join(b, "id_b")
     dot = F.aggregate(
         F.zip_with(F.col("va"), F.col("vb"),
                    lambda x, y: x.cast("double") * y.cast("double")),
@@ -249,3 +329,155 @@ def cosine_neardup_pairs(df: DataFrame, threshold: float = 0.95,
         pairs.select("id_a", "id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def cosine_neardup_pairs(df: DataFrame, threshold: float = 0.95,
+                         key: str = "vec_id", vec: str = "embedding",
+                         n_planes: int = 16, bands: int = 4,
+                         max_bucket: int = 2000, resplit_bits: int = 4,
+                         resplit_depth: int = 2,
+                         dim: int | None = None) -> DataFrame:
+    """Embedding near-duplicate pairs, (a < b) ordered, exact-cosine
+    verified.  Blocking: `bands` bands of n_planes/bands hyperplane sign
+    bits each — a pair is a candidate if it collides in ANY band, so
+    near-dups that differ in a couple of plane signs are still found
+    (multi-band = Hamming-tolerant).  Buckets larger than `max_bucket`
+    re-split on `resplit_bits` fresh planes per level for up to
+    `resplit_depth` levels (candidate work per bucket stays
+    <= max_bucket^2 / 2); a bucket still over the cap at the last level
+    emits hub pairs instead of being dropped (see _neardup_core) — no
+    silent recall collapse on dense duplicate clusters.  For repeated /
+    large-scale runs, persist the layout once with
+    write_bucketed_embeddings and use cosine_neardup_pairs_bucketed."""
+    bits = n_planes // bands
+    d = dim or _dim_of(df, vec)
+    planes = int_planes(d, n_planes)
+    rs = resplit_planes(d, bands, resplit_bits, resplit_depth)
+    b = df.select(
+        F.col(key).alias("id"),
+        *_band_cols(F.col(vec), planes, bands, bits),
+        *_sub_bucket_cols(F.col(vec), rs, bands, resplit_bits),
+    )
+    bbk = _explode_banded_keys(b, bands, resplit_depth, resplit_bits)
+    vdf = df.select(F.col(key).alias("id"), F.col(vec).alias("v"),
+                    _norm(F.col(vec)).alias("nrm"))
+    return _neardup_core(bbk, vdf, resplit_depth, threshold, max_bucket)
+
+
+# ------------------------------------------------- materialized layout
+def write_bucketed_embeddings(df: DataFrame, root: str, n_planes: int = 8,
+                              bands: int = 4, band_planes: int = 16,
+                              resplit_bits: int = 4, resplit_depth: int = 2,
+                              key: str = "vec_id", vec: str = "embedding",
+                              dim: int | None = None) -> dict:
+    """Persist the embedding table in a bucket-partitioned layout:
+    ``{root}/data/bucket=B/...`` Parquet plus ``{root}/meta.json``.
+
+    Stored per row: the key, the raw embedding, its float64 norm, the
+    ANN probe bucket (``n_planes`` sign bits — the PARTITION column, so
+    probe filters prune at the directory level), the near-dup band
+    buckets ``b0..b{bands-1}`` and the re-split sub-buckets
+    ``s{d}_{band}``.  Every hyperplane dot product is paid once at write
+    time; ann_topk_bucketed / cosine_neardup_pairs_bucketed read stored
+    integers.  At 100 TB add a salt to the repartition so one bucket
+    spans several files; the partition-pruning contract is unchanged."""
+    import json
+    import os
+
+    d = dim or _dim_of(df, vec)
+    bits = band_planes // bands
+    planes = int_planes(d, max(n_planes, band_planes))
+    rs = resplit_planes(d, bands, resplit_bits, resplit_depth)
+    out = df.select(
+        F.col(key),
+        F.col(vec),
+        _norm(F.col(vec)).alias("nrm"),
+        bucket_col(F.col(vec), planes[:n_planes]).alias("bucket"),
+        *_band_cols(F.col(vec), planes[:band_planes], bands, bits),
+        *_sub_bucket_cols(F.col(vec), rs, bands, resplit_bits),
+    )
+    (out.repartition("bucket")
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(os.path.join(root, "data")))
+    meta = {"key": key, "vec": vec, "dim": d, "quant": QUANT,
+            "n_planes": n_planes, "bands": bands, "band_planes": band_planes,
+            "resplit_bits": resplit_bits, "resplit_depth": resplit_depth}
+    # driver-side local write; on an object store route through the
+    # Hadoop FS API instead
+    with open(os.path.join(root, "meta.json"), "w") as fh:
+        json.dump(meta, fh)
+    return meta
+
+
+def read_bucketed_meta(root: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(root, "meta.json")) as fh:
+        return json.load(fh)
+
+
+def ann_probes(qvec: list[float], planes: list[list[int]],
+               multiprobe: bool = True, probe_hamming: int = 1) -> list[int]:
+    """Probe bucket set for a query: its own bucket plus all buckets
+    within the given Hamming distance (multi-probe)."""
+    n = len(planes)
+    qb = bucket_py([float(x) for x in qvec], planes)
+    probes = {qb}
+    if multiprobe and probe_hamming >= 1:
+        probes |= {qb ^ (1 << i) for i in range(n)}
+    if multiprobe and probe_hamming >= 2:
+        probes |= {qb ^ (1 << i) ^ (1 << j)
+                   for i in range(n) for j in range(i + 1, n)}
+    return sorted(probes)
+
+
+def ann_topk_bucketed(spark, root: str, qvec: list[float], k: int = 10,
+                      multiprobe: bool = True,
+                      probe_hamming: int = 1) -> DataFrame:
+    """ANN top-k over the materialized layout: the probe filter lands on
+    the PARTITION column, so the scan reads only the probed bucket
+    directories (PartitionFilters in the plan — files read ∝ probed
+    buckets, the 100 TB path).  Exact cosine re-rank uses the stored
+    norm; no hyperplane dot product is recomputed at query time."""
+    import math as _math
+    import os
+
+    meta = read_bucketed_meta(root)
+    planes = int_planes(meta["dim"], max(meta["n_planes"],
+                                         meta["band_planes"]))[:meta["n_planes"]]
+    probes = ann_probes(qvec, planes, multiprobe, probe_hamming)
+    cand = (
+        spark.read.parquet(os.path.join(root, "data"))
+        .filter(F.col("bucket").isin(probes))
+    )
+    qn = _math.sqrt(sum(float(x) * float(x) for x in qvec)) or 1.0
+    cos = _dot(F.col(meta["vec"]), qvec) / (F.col("nrm") * F.lit(qn))
+    return (
+        cand.select(F.col(meta["key"]), cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(meta["key"]))
+        .limit(k)
+    )
+
+
+def cosine_neardup_pairs_bucketed(spark, root: str, threshold: float = 0.95,
+                                  max_bucket: int = 2000) -> DataFrame:
+    """cosine_neardup_pairs over the materialized layout: band and
+    sub-bucket keys come from storage, so the pair-generation pass reads
+    slim integer columns (column pruning keeps the embedding vectors out
+    of the window shuffles entirely) and recomputes zero dot products.
+    Results are identical to the inline operator at the same params."""
+    import os
+
+    meta = read_bucketed_meta(root)
+    t = spark.read.parquet(os.path.join(root, "data"))
+    bands, depth = meta["bands"], meta["resplit_depth"]
+    b = t.select(
+        F.col(meta["key"]).alias("id"),
+        *[F.col(f"b{i}") for i in range(bands)],
+        *[F.col(f"s{d}_{i}") for d in range(depth) for i in range(bands)],
+    )
+    bbk = _explode_banded_keys(b, bands, depth, meta["resplit_bits"])
+    vdf = t.select(F.col(meta["key"]).alias("id"),
+                   F.col(meta["vec"]).alias("v"), "nrm")
+    return _neardup_core(bbk, vdf, depth, threshold, max_bucket)

@@ -103,21 +103,119 @@ def test_jaccard_df_cap_bounds_hot_shingles(spark):
 
 
 def test_neardup_bucket_cap_bounds_dense_bucket(spark):
-    """A degenerate corpus (everyone in one bucket) stays bounded: over-cap
-    buckets are dropped from the pair join and reported by the stats DF."""
+    """A degenerate corpus (30 identical vectors, cap 10) stays BOUNDED
+    but is no longer silently dropped: identical vectors agree with every
+    re-split plane, so the terminal bucket emits hub pairs — (min id,
+    member), 29 pairs at cosine 1.0 — keeping the cluster connected at
+    O(n) cost (the round-2 drop policy returned the empty set here)."""
     rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(30)]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
-    pairs = similarity.cosine_neardup_pairs(
-        df, threshold=0.9, n_planes=16, bands=4, max_bucket=10
-    ).collect()
-    assert pairs == []  # every band's single bucket exceeds the cap
-    stats = similarity.neardup_bucket_stats(df, n_planes=16, bands=4).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["cosine"]
+             for r in similarity.cosine_neardup_pairs(
+                 df, threshold=0.9, n_planes=16, bands=4, max_bucket=10,
+                 dim=4).collect()}
+    assert set(pairs) == {(0, i) for i in range(1, 30)}
+    assert all(math.isclose(c, 1.0, abs_tol=1e-9) for c in pairs.values())
+    stats = similarity.neardup_bucket_stats(df, n_planes=16, bands=4,
+                                            dim=4).collect()
     assert all(r["n"] == 30 for r in stats) and len(stats) == 4
-    # with a sane cap the identical vectors are all found
+    # with a sane cap the identical vectors pair up fully
     ok = similarity.cosine_neardup_pairs(
-        df, threshold=0.9, n_planes=16, bands=4, max_bucket=1000
+        df, threshold=0.9, n_planes=16, bands=4, max_bucket=1000, dim=4
     ).count()
     assert ok == 30 * 29 / 2
+
+
+def test_neardup_resplit_separates_diverse_dense_buckets(spark):
+    """Three tight clusters, each bigger than the cap: re-split levels or
+    hub pairs must keep every cluster internally connected, with zero
+    cross-cluster pairs — recall does not collapse to 0 the way the
+    drop-over-cap policy did.  Verified against brute-force components."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((3, 16)).astype("float32") * 4.0
+    rows = []
+    for ci in range(3):
+        for j in range(40):
+            v = centers[ci] + rng.standard_normal(16).astype("float32") * 0.05
+            rows.append((ci * 100 + j, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = [(r["id_a"], r["id_b"])
+             for r in similarity.cosine_neardup_pairs(
+                 df, threshold=0.99, n_planes=16, bands=4, max_bucket=15,
+                 dim=16).collect()]
+    assert pairs, "dense clusters must not be dropped"
+    assert all(a // 100 == b // 100 for a, b in pairs)
+    # union-find over returned pairs: each 40-member cluster stays whole
+    parent = {i: i for i, _ in rows}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    comps = {}
+    for i, _ in rows:
+        comps.setdefault(find(i), set()).add(i)
+    assert sorted(len(c) for c in comps.values()) == [40, 40, 40]
+
+
+def test_neardup_bucketed_layout_parity(spark, tmp_path, embeddings):
+    """cosine_neardup_pairs_bucketed over the materialized layout returns
+    exactly the inline operator's pairs (keys come from storage)."""
+    df, _ = embeddings
+    root = str(tmp_path / "emb_layout")
+    similarity.write_bucketed_embeddings(df, root, dim=8)
+    inline = {(r["id_a"], r["id_b"], round(r["cosine"], 9))
+              for r in similarity.cosine_neardup_pairs(
+                  df, threshold=0.95, dim=8).collect()}
+    stored = {(r["id_a"], r["id_b"], round(r["cosine"], 9))
+              for r in similarity.cosine_neardup_pairs_bucketed(
+                  spark, root, threshold=0.95).collect()}
+    assert stored == inline and inline
+
+
+def test_ann_bucketed_partition_pruning_and_parity(spark, tmp_path, embeddings):
+    """The materialized-layout ANN path must (a) return the inline
+    ann_topk results and (b) PRUNE: the probe filter lands on the bucket
+    partition column — PartitionFilters in the plan, and every file the
+    scan touches lives under a probed bucket directory."""
+    import os
+
+    df, vecs = embeddings
+    root = str(tmp_path / "emb_layout_ann")
+    similarity.write_bucketed_embeddings(df, root, n_planes=6, dim=8)
+    q = [float(x) for x in vecs[0]]
+    inline = [(r["vec_id"], round(r["cosine"], 9))
+              for r in similarity.ann_topk(df, q, k=5, n_planes=6).collect()]
+    got_df = similarity.ann_topk_bucketed(spark, root, q, k=5)
+    got = [(r["vec_id"], round(r["cosine"], 9)) for r in got_df.collect()]
+    assert got == inline and got
+
+    planes = similarity.int_planes(8, 6)
+    probes = set(similarity.ann_probes(q, planes))
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+    # behavioral gate: files actually read ⊂ probed bucket dirs
+    cand = (
+        spark.read.parquet(os.path.join(root, "data"))
+        .filter(F.col("bucket").isin(sorted(probes)))
+    )
+    touched = [r[0] for r in
+               cand.select(F.input_file_name()).distinct().collect()]
+    assert touched, "probed buckets must exist on disk"
+    for path in touched:
+        b = int(path.split("bucket=")[1].split("/")[0])
+        assert b in probes
+    all_buckets = {int(d.split("=")[1])
+                   for d in os.listdir(os.path.join(root, "data"))
+                   if d.startswith("bucket=")}
+    assert len(all_buckets - probes) > 0, \
+        "fixture must have unprobed buckets for the pruning claim to bite"
 
 
 def test_simhash_parity_and_candidates(spark, docs):
