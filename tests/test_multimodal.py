@@ -17,20 +17,28 @@ def _chunk(typ: bytes, data: bytes) -> bytes:
 
 
 def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
-    """Minimal RGB8 PNG encoder for round-trip tests (filters 0-2)."""
+    """Minimal RGB8 PNG encoder for round-trip tests (filters 0-4)."""
     h, w, _ = arr.shape
     raw = bytearray()
     prev = np.zeros(w * 3, np.int16)
     for y in range(h):
         line = arr[y].reshape(-1).astype(np.int16)
         raw.append(filter_type)
+        left = np.concatenate([np.zeros(3, np.int16), line[:-3]])
+        upleft = np.concatenate([np.zeros(3, np.int16), prev[:-3]])
         if filter_type == 0:
             enc = line
         elif filter_type == 1:  # Sub
-            left = np.concatenate([np.zeros(3, np.int16), line[:-3]])
             enc = (line - left) % 256
-        else:  # Up
+        elif filter_type == 2:  # Up
             enc = (line - prev) % 256
+        elif filter_type == 3:  # Average
+            enc = (line - ((left + prev) >> 1)) % 256
+        else:  # Paeth — scalar reference predictor (mm._paeth)
+            pred = np.array(
+                [mm._paeth(int(a), int(b), int(c))
+                 for a, b, c in zip(left, prev, upleft)], np.int16)
+            enc = (line - pred) % 256
         raw.extend(enc.astype(np.uint8).tobytes())
         prev = line
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
@@ -55,11 +63,49 @@ def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
 def test_png_roundtrip_all_filters():
     rng = np.random.default_rng(7)
     img = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
-    for ft in (0, 1, 2):
+    for ft in (0, 1, 2, 3, 4):
         got = mm.decode_png(encode_png(img, filter_type=ft))
         assert np.array_equal(got, img), f"filter {ft}"
     # and through the public dispatch with fake=False
     assert np.array_equal(mm.decode_image(encode_png(img), fake=False), img)
+
+
+def test_png_unfilter_matches_per_byte_reference():
+    """The vectorized unfilter must agree byte-for-byte with a per-byte
+    reference loop (the PNG spec's recurrences, written independently of
+    the decoder) on wider images where cumsum/wraparound bugs would
+    show."""
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, size=(16, 37, 3), dtype=np.uint8)
+    for ft in (1, 2, 3, 4):
+        content = encode_png(img, filter_type=ft)
+        got = mm.decode_png(content)
+        assert np.array_equal(got, img), f"filter {ft}"
+        # per-byte spec reference on the raw inflate stream
+        idat = content.split(b"IDAT")[1]
+        ln = struct.unpack(">I", content[content.index(b"IDAT") - 4:
+                                         content.index(b"IDAT")])[0]
+        raw = zlib.decompress(idat[:ln])
+        stride, ch = 37 * 3, 3
+        prev = bytearray(stride)
+        pos = 0
+        for y in range(16):
+            ftype = raw[pos]
+            line = bytearray(raw[pos + 1:pos + 1 + stride])
+            pos += stride + 1
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                c = prev[i - ch] if i >= ch else 0
+                if ftype == 1:
+                    line[i] = (line[i] + a) & 0xFF
+                elif ftype == 2:
+                    line[i] = (line[i] + prev[i]) & 0xFF
+                elif ftype == 3:
+                    line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+                elif ftype == 4:
+                    line[i] = (line[i] + mm._paeth(a, prev[i], c)) & 0xFF
+            assert bytes(line) == got[y].reshape(-1).tobytes(), (ft, y)
+            prev = line
 
 
 def test_wav_roundtrip():
