@@ -58,6 +58,8 @@ class SearchEngine:
         self._docs_df: DataFrame | None = None
         self._postings_df: DataFrame | None = None
         self._term_dir: DataFrame | None = None
+        self._term_df_driver: dict | None = None
+        self._term_df_checked = False
         self._docs_size: int | None = None
 
     # ------------------------------------------------------------ stores
@@ -95,12 +97,57 @@ class SearchEngine:
             )
         return self._term_dir
 
+    # vocabulary small enough to mirror onto the driver: one dict lookup
+    # replaces the per-query df collect JOB (~0.3-0.4 s of pure Spark
+    # scheduling at any corpus size).  Above the gate — a 100 TB-scale
+    # vocabulary — df lookups stay on the persisted distributed frame.
+    _TERM_DF_DRIVER_MAX_ROWS = 1_000_000
+
+    def _term_df_driver_map(self) -> dict | None:
+        """Driver-side (field, term) -> df mirror of the term directory —
+        the literal RAM term tree of the reference (SessionFactory caches
+        ColumnReaders; PathFinder reads weights off in-memory nodes).
+        Size-gated: returns None (caller uses the distributed lookup)
+        when the vocabulary exceeds _TERM_DF_DRIVER_MAX_ROWS."""
+        if not self._term_df_checked:
+            self._term_df_checked = True
+            rows = (
+                self.term_directory().select("field", "term", "df")
+                .limit(self._TERM_DF_DRIVER_MAX_ROWS + 1).collect()
+            )
+            if len(rows) <= self._TERM_DF_DRIVER_MAX_ROWS:
+                self._term_df_driver = {
+                    (r["field"], r["term"]): r["df"] for r in rows
+                }
+        return self._term_df_driver
+
+    def _surface_df_map(self, by_field: dict, pred) -> dict:
+        """df per queried (field, term) in surface mode: O(#query terms)
+        dict lookups when the vocabulary fits on the driver, else one
+        filtered collect off the persisted term directory."""
+        m = self._term_df_driver_map()
+        if m is not None:
+            return {
+                (f, t): m[(f, t)]
+                for f, toks in by_field.items() for t in toks
+                if (f, t) in m
+            }
+        df_rows = (
+            self.term_directory().filter(pred)
+            .groupBy("field", "term")
+            .agg(F.sum("df").alias("df"))
+            .collect()
+        )
+        return {(r["field"], r["term"]): r["df"] for r in df_rows}
+
     def refresh(self) -> None:
         """Drop cached listings/stats after new segments are appended."""
         self._docs_df = None
         self._postings_df = None
         self._stats = None
         self._docs_size = None
+        self._term_df_driver = None
+        self._term_df_checked = False
         if self._term_dir is not None:
             self._term_dir.unpersist()
             self._term_dir = None
@@ -335,19 +382,14 @@ class SearchEngine:
         # Charbag mode must merge anagram postings first, so it counts on
         # the decoded frame.
         if term_identity == "surface":
-            df_rows = (
-                self.term_directory().filter(pred)
-                .groupBy("field", F.col(key_col).alias("term"))
-                .agg(F.sum("df").alias("df"))
-                .collect()
-            )
+            df_map = self._surface_df_map(by_field, pred)
         else:
             df_rows = (
                 scored_base.groupBy("field", "term")
                 .agg(F.count(F.lit(1)).alias("df"))
                 .collect()
             )
-        df_map = {(r["field"], r["term"]): r["df"] for r in df_rows}
+            df_map = {(r["field"], r["term"]): r["df"] for r in df_rows}
         stats = self.stats()
 
         # one scoring expression; idf/avgdl folded in as literals with the
@@ -424,14 +466,9 @@ class SearchEngine:
 
         df_by_key = None
         if term_identity == "surface":
-            # df off the persisted term directory (no parquet re-scan)
-            df_rows = (
-                self.term_directory().filter(pred)
-                .groupBy("field", F.col(key_col).alias("term"))
-                .agg(F.sum("df").alias("df"))
-                .collect()
-            )
-            df_map = {(r["field"], r["term"]): r["df"] for r in df_rows}
+            # df off the term directory (driver mirror when it fits, else
+            # the persisted distributed frame — never a parquet re-scan)
+            df_map = self._surface_df_map(by_field, pred)
             df_by_key = [df_map.get(k, 0) for k in keys]
 
         if (df_by_key is not None and len(keys) <= 12

@@ -165,3 +165,39 @@ def test_classify_broadcasts_exemplars(spark):
     )
     plan = _plan(vs.classify(test, train.select("embedding", "label")))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_term_df_driver_map_matches_distributed(engine, monkeypatch):
+    """X1 driver mirror: the size-gated driver-side term-df dict must
+    agree with the distributed term-directory lookup, and search results
+    must be identical on both paths."""
+    from resin_spark.executor import SearchEngine
+
+    q = {"and": {"text": "apple apples"}}  # overlap docs guaranteed by fixture
+    want = engine.search(q, k=10, select=["conv_id", "turn_idx"]).collect()
+
+    eng2 = SearchEngine(engine.spark, engine.root)
+    monkeypatch.setattr(SearchEngine, "_TERM_DF_DRIVER_MAX_ROWS", 0)
+    assert eng2._term_df_driver_map() is None  # over the gate -> distributed
+    got = eng2.search(q, k=10, select=["conv_id", "turn_idx"]).collect()
+    assert got == want and len(got) > 0
+    eng2.clear_cache()
+
+
+def test_surface_df_lookup_is_driver_side(engine, monkeypatch):
+    """Once the driver mirror is built, a surface-mode query must not
+    touch the distributed term directory at all (the per-query df JOB is
+    gone — the reference's RAM term tree behavior)."""
+    assert engine._term_df_driver_map() is not None
+
+    def boom(*a, **k):  # any distributed lookup would call this
+        raise AssertionError("distributed term_directory used")
+
+    monkeypatch.setattr(engine, "term_directory", boom)
+    hits = engine.search({"or": {"text": "banana"}}, k=5,
+                         select=["conv_id", "turn_idx"]).collect()
+    assert len(hits) > 0
+    hits2 = engine.search({"and": {"text": "apple apples"}}, k=5,
+                          select=["conv_id", "turn_idx"]).collect()
+    assert len(hits2) > 0
+    engine.clear_cache()
