@@ -34,6 +34,7 @@ all segments into one (Resin's ``optimize``, SessionFactory.cs:112-190).
 
 from __future__ import annotations
 
+import os
 import time
 
 import numpy as np
@@ -66,6 +67,16 @@ POSTINGS_FIELDS = [
     StructField("chars_key", StringType(), False),
 ]
 POSTINGS_SCHEMA = StructType(POSTINGS_FIELDS)
+
+# Encoder output when terms ride the shuffle dictionary-encoded
+# (RESIN_SPARK_TERM_DICT=1): `term` is the dense int64 term_id; the term
+# string and chars_key are restored from the term dimension AFTER the
+# encode, so neither string rides the big shuffle.
+POSTINGS_ID_FIELDS = [
+    StructField("field", StringType(), False),
+    StructField("term", LongType(), False),
+] + POSTINGS_FIELDS[2:-1]
+POSTINGS_ID_SCHEMA = StructType(POSTINGS_ID_FIELDS)
 
 
 class _arrow_batch_rows:
@@ -260,7 +271,8 @@ def doc_lengths(docs: DataFrame, fields: tuple[str, ...]) -> DataFrame:
     return out.filter(F.col("dl") > 0)
 
 
-def _encode_sorted_arrays(fa, ta, ba, D, T, L) -> pd.DataFrame:
+def _encode_sorted_arrays(fa, ta, ba, D, T, L,
+                          with_chars_key: bool = True) -> pd.DataFrame:
     """Encode a run of occurrence rows sorted by (field, term, block_id,
     doc_id) into one output row per (field, term, block) group.
 
@@ -308,27 +320,28 @@ def _encode_sorted_arrays(fa, ta, ba, D, T, L) -> pd.DataFrame:
     np.subtract(DU[1:], DU[:-1], out=deltas[1:])
     deltas[u_off[:-1]] = DU[u_off[:-1]]
     g_terms = ta[off[:-1]]
-    return pd.DataFrame(
-        {
-            "field": fa[off[:-1]],
-            "term": g_terms,
-            "block_id": ba[off[:-1]].astype(np.int64),
-            "df_block": dfb,
-            "sum_tf": stf,
-            "max_tf": mtf,
-            "min_dl": mdl,
-            "doc_ids_bin": varint_encode_segmented(
-                deltas.astype(np.uint64), u_off),
-            "tfs_bin": varint_encode_segmented(TU.astype(np.uint64), u_off),
-            "dls_bin": varint_encode_segmented(LU.astype(np.uint64), u_off),
-            # ONE definition of the char-bag key, shared with the query
-            # side (executor matches on chars_key_py of the query token)
-            "chars_key": [chars_key_py(t) for t in g_terms],
-        }
-    )
+    out = {
+        "field": fa[off[:-1]],
+        "term": g_terms,
+        "block_id": ba[off[:-1]].astype(np.int64),
+        "df_block": dfb,
+        "sum_tf": stf,
+        "max_tf": mtf,
+        "min_dl": mdl,
+        "doc_ids_bin": varint_encode_segmented(
+            deltas.astype(np.uint64), u_off),
+        "tfs_bin": varint_encode_segmented(TU.astype(np.uint64), u_off),
+        "dls_bin": varint_encode_segmented(LU.astype(np.uint64), u_off),
+    }
+    if with_chars_key:
+        # ONE definition of the char-bag key, shared with the query
+        # side (executor matches on chars_key_py of the query token)
+        out["chars_key"] = [chars_key_py(t) for t in g_terms]
+    return pd.DataFrame(out)
 
 
-def _encode_sorted_pdf(pdf: pd.DataFrame, unit_tf: bool = False) -> pd.DataFrame:
+def _encode_sorted_pdf(pdf: pd.DataFrame, unit_tf: bool = False,
+                       with_chars_key: bool = True) -> pd.DataFrame:
     D = pdf["doc_id"].to_numpy(dtype=np.int64)
     return _encode_sorted_arrays(
         pdf["field"].to_numpy(),
@@ -337,10 +350,11 @@ def _encode_sorted_pdf(pdf: pd.DataFrame, unit_tf: bool = False) -> pd.DataFrame
         D,
         None if unit_tf else pdf["tf"].to_numpy(dtype=np.int64),
         pdf["dl"].to_numpy(dtype=np.int64),
+        with_chars_key=with_chars_key,
     )
 
 
-def _merge_encode_iter(unit_tf: bool = False):
+def _merge_encode_iter(unit_tf: bool = False, with_chars_key: bool = True):
     """mapInPandas worker factory over a partition sorted by (field,
     term, doc_id) — block_id is a monotone function of doc_id, so the
     sort order equals (field, term, block_id, doc_id) and the block key
@@ -365,7 +379,7 @@ def _merge_encode_iter(unit_tf: bool = False):
             out = _encode_sorted_pdf(
                 carry_chunks[0] if len(carry_chunks) == 1
                 else pd.concat(carry_chunks, ignore_index=True),
-                unit_tf=unit_tf,
+                unit_tf=unit_tf, with_chars_key=with_chars_key,
             )
             carry_chunks, carry_key = [], None
             return out
@@ -398,7 +412,8 @@ def _merge_encode_iter(unit_tf: bool = False):
             else:
                 body = pdf.iloc[:cut]
             if len(body):
-                yield _encode_sorted_pdf(body, unit_tf=unit_tf)
+                yield _encode_sorted_pdf(body, unit_tf=unit_tf,
+                                         with_chars_key=with_chars_key)
             carry_chunks = [pdf.iloc[cut:]]
             carry_key = last_key
         if carry_chunks:
@@ -469,6 +484,84 @@ def postings_blocks(occurrences: DataFrame,
         .sortWithinPartitions("field", "term", "doc_id")
     )
     return parted.mapInPandas(_merge_encode_iter(unit_tf), schema=POSTINGS_SCHEMA)
+
+
+def build_term_dim(occurrences: DataFrame) -> DataFrame:
+    """Order-preserving dense term dictionary: (field, term) -> term_id
+    with term_id = rank under (field, term) lexicographic order, so
+    sorting by term_id IS sorting by (field, term) — posting files stay
+    term-sorted (parquet min/max pruning intact) when the id is the
+    shuffle/sort key.  Same distributed sort+zipWithIndex shape as
+    conv_dim (ids.build_conv_dim); vocab is tiny relative to occurrences.
+    chars_key is computed here ONCE PER VOCAB ROW (JVM expression)
+    instead of once per posting block group."""
+    from resin_spark.tokenizer import chars_key_col
+
+    spark = occurrences.sparkSession
+    vocab = occurrences.select("field", "term").distinct().sort("field", "term")
+    rdd = vocab.rdd.map(lambda r: (r[0], r[1])).zipWithIndex().map(
+        lambda x: (x[0][0], x[0][1], x[1])
+    )
+    dim = spark.createDataFrame(
+        rdd,
+        StructType([
+            StructField("field", StringType(), False),
+            StructField("term", StringType(), False),
+            StructField("term_id", LongType(), False),
+        ]),
+    )
+    return dim.withColumn("chars_key", chars_key_col("term"))
+
+
+def postings_blocks_dicted(occurrences: DataFrame,
+                           out_partitions: int | None = None,
+                           unit_tf: bool = False) -> DataFrame:
+    """postings_blocks with the term column dictionary-encoded to int64
+    for the big shuffle (RESIN_SPARK_TERM_DICT=1; the 1->4 scaling
+    experiment of BENCH.md).  Identical output table.
+
+    Motivation: the occurrence shuffle carries one term STRING per token
+    (~10 bytes + offsets through the shuffle sorter, Arrow transfer, and
+    the encoder's numpy object-array change-point compares — per-element
+    Python).  With a dense id the sorter compares int64s, the Arrow batch
+    is fixed-width, and the encoder's group detection is pure C.  Costs:
+    one vocab-sized distinct+sort+zipWithIndex, a map-side join occ->id,
+    and a blocks-sized join back to restore (term, chars_key).
+
+    Scale note: the occ->id join is broadcast here (vocab of the
+    synthetic corpus is small); at 100 TB vocab (~10^8 rows) you would
+    bucket both sides on (field, term) instead — the join stays map-side
+    either way.  The restore join is on blocks (orders of magnitude
+    smaller than occurrences)."""
+    spark = occurrences.sparkSession
+    n_parts = out_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    vocab = build_term_dim(occurrences).persist()
+    cols = ["doc_id", "dl"] + ([] if unit_tf else ["tf"])
+    occ_id = (
+        occurrences.join(F.broadcast(vocab.select("field", "term", "term_id")),
+                         ["field", "term"])
+        .select("field", F.col("term_id").alias("term"), *cols)
+    )
+    block_expr = F.shiftright(F.col("doc_id"), BLOCK_SHIFT)
+    parted = (
+        occ_id.repartition(n_parts, F.col("field"), F.col("term"), block_expr)
+        # term_id rank order == (field, term) order, so this sort keeps
+        # the output (field, term)-sorted per file exactly like the
+        # string path
+        .sortWithinPartitions("field", "term", "doc_id")
+    )
+    enc = parted.mapInPandas(
+        _merge_encode_iter(unit_tf, with_chars_key=False),
+        schema=POSTINGS_ID_SCHEMA,
+    )
+    restored = (
+        enc.withColumnRenamed("term", "term_id")
+        .join(F.broadcast(vocab), ["field", "term_id"])
+        .select(*[f.name for f in POSTINGS_FIELDS])
+    )
+    return restored
 
 
 def decoded_postings(postings: DataFrame) -> DataFrame:
@@ -759,7 +852,11 @@ def _build_segment(
     # tf/dl/stats derive inside the streaming merge-encoder (unit_tf:
     # tf = duplicate run length, no tf column in the shuffle)
     occ = tokenized(docs, fields)
-    blocks = postings_blocks(occ, out_partitions=out_partitions, unit_tf=True)
+    if os.environ.get("RESIN_SPARK_TERM_DICT") == "1":
+        blocks = postings_blocks_dicted(
+            occ, out_partitions=out_partitions, unit_tf=True)
+    else:
+        blocks = postings_blocks(occ, out_partitions=out_partitions, unit_tf=True)
     with _arrow_batch_rows(spark):
         blocks.write.mode("overwrite").option("compression", "zstd").parquet(
             f"{p_postings(root)}/segment={seg}"
