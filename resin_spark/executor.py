@@ -225,6 +225,15 @@ class SearchEngine:
         columns + score.  ``term_identity='charbag'`` reproduces Resin's
         anagram-colliding char-bag term identity via chars_key."""
         q = parse_query(query) if isinstance(query, dict) else query
+        sel = select or q.select
+        if k and term_identity == "surface":
+            # driver-scored fast path: when the df mirror already tells
+            # us the candidate set is k-row-scale, the whole rank is two
+            # tiny jobs (pushed block collect + point fetch) instead of a
+            # Python-UDF decode job + broadcast exchange + docs scan
+            hits = self._driver_hits(q, k, skip)
+            if hits is not None:
+                return self._fetch_hits(hits, sel)
         ranked = self._ranked(q, term_identity)
         if k or skip:
             # top-k path: TakeOrderedAndProject.  With k=0 and skip=0
@@ -237,7 +246,6 @@ class SearchEngine:
         if k:
             ranked = ranked.limit(k)
 
-        sel = select or q.select
         docs = self.documents()
         if k and (k + skip) <= self._POINT_FETCH_MAX_K \
                 and self._docs_bytes() > self._POINT_FETCH_MIN_DOCS_BYTES:
@@ -268,6 +276,10 @@ class SearchEngine:
             # strategy
             right = F.broadcast(ranked) if k else ranked
             out = docs.join(right, "doc_id")
+        return self._project_ranked(out, docs, sel)
+
+    def _project_ranked(self, out: DataFrame, docs: DataFrame,
+                        sel: list[str] | None) -> DataFrame:
         cols = ["conv_id", "turn_idx"]
         if sel:
             cols += [c for c in sel if c not in ("conv_id", "turn_idx")]
@@ -297,6 +309,132 @@ class SearchEngine:
     # scan beats one extra Spark action
     _POINT_FETCH_MAX_K = 1024
     _POINT_FETCH_MIN_DOCS_BYTES = 4 << 30
+
+    # driver-scored fast path: total candidate postings (Σ df over the
+    # query's terms, known BEFORE any job from the driver term-df mirror)
+    # up to which decode + boolean fold + BM25 run on the driver over the
+    # collected block binaries.  ~24 B/posting collected, numpy decode,
+    # dict fold — worst case ~3 MB / tens of ms.  Above the cap (hot
+    # terms) or without the mirror (100 TB vocabularies) the distributed
+    # path runs unchanged, so this is latency sugar for the k-row-scale
+    # case, exactly the reference's embedded in-RAM read session
+    # (SessionFactory caches ColumnReaders; ReadSession scores driver-
+    # side) — re-expressed as a size-gated physical strategy.
+    _DRIVER_SCORE_MAX_POSTINGS = 131072
+
+    def _driver_hits(self, q: Query, k: int,
+                     skip: int) -> list[tuple[int, float]] | None:
+        """Top-(skip+k) (doc_id, score) computed driver-side, or None when
+        the query is not eligible (no df mirror / too many candidates /
+        too many keys).  Semantics and float64 op tree are EXACTLY the
+        mask fold's: _mask_reduce over exact observed mask classes, score
+        = left-associative Σ of per-key BM25 weights in S[mask] order; the
+        differential fuzz suite runs this strategy against the others."""
+        dfm = self._term_df_driver_map()
+        if dfm is None:
+            return None
+        terms = query_terms(q)
+        if not terms:
+            return []
+        by_field: dict[str, set[str]] = {}
+        for t in terms:
+            by_field.setdefault(t.field, set()).add(t.token)
+        keys = sorted((f, tok) for f, toks in by_field.items() for tok in toks)
+        if len(keys) > self._MASK_MAX_KEYS:
+            return None
+        idx = {key: i for i, key in enumerate(keys)}
+        df_by_key = [dfm.get(key, 0) for key in keys]
+        if sum(df_by_key) > self._DRIVER_SCORE_MAX_POSTINGS:
+            return None
+        self.clear_cache()
+        if not any(df_by_key):
+            return []
+        pred = _functools_reduce(
+            lambda a, b: a | b,
+            [
+                (F.col("field") == f) & F.col("term").isin(sorted(toks))
+                for f, toks in by_field.items()
+            ],
+        )
+        rows = (
+            self.postings().filter(pred)
+            .select("field", "term", "doc_ids_bin", "tfs_bin", "dls_bin")
+            .collect()
+        )
+        from resin_spark.postings import decode_counts, decode_doc_ids
+
+        # per-key doc -> (tf, dl); mirrors the mask agg (sum tf, max dl —
+        # surface mode has one row per (doc, key), so both are identity)
+        per_key: list[dict] = [dict() for _ in keys]
+        for r in rows:
+            i = idx.get((r["field"], r["term"]))
+            if i is None:
+                continue
+            ids = decode_doc_ids(bytes(r["doc_ids_bin"])).tolist()
+            tfs = decode_counts(bytes(r["tfs_bin"])).tolist()
+            dls = decode_counts(bytes(r["dls_bin"])).tolist()
+            d = per_key[i]
+            for did, tf, dl in zip(ids, tfs, dls):
+                old = d.get(did)
+                d[did] = (tf, dl) if old is None else (old[0] + tf,
+                                                       max(old[1], dl))
+        mask_of: dict[int, int] = {}
+        for i, d in enumerate(per_key):
+            bit = 1 << i
+            for did in d:
+                mask_of[did] = mask_of.get(did, 0) | bit
+        observed: dict[int, int] = {}
+        for m in mask_of.values():
+            observed[m] = observed.get(m, 0) + 1
+        state = self._mask_reduce(q, None, observed, df_by_key, idx,
+                                  "surface")
+        if state is None or not state[0]:
+            return []
+        masks, S = state
+        stats = self.stats()
+        empty = {"n_docs": 0, "avgdl": 1.0}
+        idf_of, avgdl_of = {}, {}
+        for (f, tok), i in idx.items():
+            if not df_by_key[i]:
+                continue
+            st = stats.get(f, empty)
+            idf_of[i] = self.idf(st["n_docs"], df_by_key[i])
+            avgdl_of[i] = st["avgdl"] if st["n_docs"] else 1.0
+        one_minus_b = 1.0 - BB
+        hits = []
+        for did, m in mask_of.items():
+            if m not in masks:
+                continue
+            score = 0.0
+            first = True
+            for i in S[m]:
+                tf, dl = per_key[i][did]
+                w = idf_of[i] * (
+                    tf / (tf + K1 * (one_minus_b + BB * dl / avgdl_of[i]))
+                )
+                score = w if first else score + w
+                first = False
+            hits.append((did, score))
+        hits.sort(key=lambda x: (-x[1], x[0]))
+        return hits[skip:skip + k] if k else hits[skip:]
+
+    def _fetch_hits(self, hits: list[tuple[int, float]],
+                    sel: list[str] | None) -> DataFrame:
+        """Materialize driver-computed (doc_id, score) hits: pushed-down
+        doc_id IN point scan (min/max-pruned on the doc_id-sorted docs
+        table — no full scan, no gate: the hits are already collected so
+        the point path costs no extra action here)."""
+        lit = self.spark.createDataFrame(
+            [(int(d), float(s)) for d, s in hits],
+            "doc_id long, score double",
+        )
+        docs = self.documents()
+        if hits and len(hits) <= self._POINT_FETCH_MAX_K:
+            docs = docs.filter(
+                F.col("doc_id").isin([int(d) for d, _ in hits])
+            )
+        out = docs.join(F.broadcast(lit), "doc_id")
+        return self._project_ranked(out, docs, sel)
 
     def _docs_bytes(self) -> int:
         """Catalyst's size estimate for the docs table (file-listing

@@ -60,3 +60,19 @@ def engine(spark, index_root):
     from resin_spark.executor import SearchEngine
 
     return SearchEngine(spark, index_root)
+
+
+@pytest.fixture(params=["driver", "distributed"])
+def engine_s(request, engine):
+    """The same engine under both physical strategies: 'driver' (the
+    size-gated driver-scored fast path — the default at fixture scale)
+    and 'distributed' (fast path disabled, the mask/join folds as before).
+    Rank-identity suites run under both so neither loses oracle coverage."""
+    if request.param == "distributed":
+        engine._DRIVER_SCORE_MAX_POSTINGS = -1
+        try:
+            yield engine
+        finally:
+            del engine.__dict__["_DRIVER_SCORE_MAX_POSTINGS"]
+    else:
+        yield engine

@@ -43,8 +43,8 @@ def _queries(seed: int = 20260816, n: int = 24):
 
 
 @pytest.mark.parametrize("qid,query", _queries(), ids=[q[0] for q in _queries()])
-def test_differential_rank_identity(engine, oracle, qid, query):
-    got = engine.topk(query, k=10)
+def test_differential_rank_identity(engine_s, oracle, qid, query):
+    got = engine_s.topk(query, k=10)
     want = oracle_search(oracle, query, k=10)
     assert [h[0] for h in got] == [h[0] for h in want], (qid, query)
     for (_, s1), (_, s2) in zip(got, want):

@@ -59,10 +59,10 @@ def _assert_rank_identical(spark_hits, oracle_hits, qid):
 
 
 @pytest.mark.parametrize("qid,query,kw", QUERIES, ids=[q[0] for q in QUERIES])
-def test_rank_identity(engine, oracle, qid, query, kw):
+def test_rank_identity(engine_s, oracle, qid, query, kw):
     k = kw.get("k", 10)
     skip = kw.get("skip", 0)
-    got = engine.topk(query, k=k, skip=skip)
+    got = engine_s.topk(query, k=k, skip=skip)
     want = oracle_search(oracle, query, k=k, skip=skip)
     _assert_rank_identical(got, want, qid)
 
@@ -119,3 +119,34 @@ def test_self_retrieval_spark(engine, fixture_rows):
     for tok, key in list(planted.items())[:4]:
         hits = engine.topk({"or": {"text": tok}}, k=1)
         assert hits and hits[0][0] == key, tok
+
+
+def test_driver_fast_path_taken_when_eligible(engine, oracle, monkeypatch):
+    """An eligible query (df mirror present, tiny Σdf) must be answered
+    entirely by the driver-scored path — the distributed fold must not
+    run — and still match the oracle."""
+    def boom(*a, **kw):
+        raise AssertionError("distributed _ranked ran on an eligible query")
+
+    monkeypatch.setattr(engine, "_ranked", boom)
+    got = engine.topk({"and": {"text": "banana", "not": {"text": "apples"}}},
+                      k=10)
+    want = oracle_search(
+        oracle, {"and": {"text": "banana", "not": {"text": "apples"}}}, k=10)
+    _assert_rank_identical(got, want, "driver_fast_path")
+
+
+def test_driver_fast_path_gates_closed(engine, monkeypatch):
+    """Over the Σdf cap (or without the mirror) search must fall back to
+    the distributed fold."""
+    calls = []
+    orig = engine._ranked
+
+    def spy(q, ti):
+        calls.append(1)
+        return orig(q, ti)
+
+    monkeypatch.setattr(engine, "_ranked", spy)
+    monkeypatch.setattr(engine, "_DRIVER_SCORE_MAX_POSTINGS", -1)
+    engine.search({"or": {"text": "banana"}}, k=5).collect()
+    assert calls, "gate closed but distributed path not used"
