@@ -313,14 +313,17 @@ class SearchEngine:
     # driver-scored fast path: total candidate postings (Σ df over the
     # query's terms, known BEFORE any job from the driver term-df mirror)
     # up to which decode + boolean fold + BM25 run on the driver over the
-    # collected block binaries.  ~24 B/posting collected, numpy decode,
-    # dict fold — worst case ~3 MB / tens of ms.  Above the cap (hot
-    # terms) or without the mirror (100 TB vocabularies) the distributed
-    # path runs unchanged, so this is latency sugar for the k-row-scale
-    # case, exactly the reference's embedded in-RAM read session
-    # (SessionFactory caches ColumnReaders; ReadSession scores driver-
-    # side) — re-expressed as a size-gated physical strategy.
-    _DRIVER_SCORE_MAX_POSTINGS = 131072
+    # collected block binaries.  Everything after the collect is
+    # vectorized numpy over O(Σdf) memory (~24 B/posting decoded, a few
+    # B/posting on the wire), so the cap is a driver-RAM/collect-size
+    # bound, not a compute bound: 2M postings ≈ 50 MB decoded, ~100 ms.
+    # Above the cap or without the mirror (100 TB vocabularies) the
+    # distributed path runs unchanged, so this is latency sugar for the
+    # bounded-candidate case, exactly the reference's embedded in-RAM
+    # read session (SessionFactory caches ColumnReaders; ReadSession
+    # scores driver-side) — re-expressed as a size-gated physical
+    # strategy.
+    _DRIVER_SCORE_MAX_POSTINGS = 2_000_000
 
     def _driver_hits(self, q: Query, k: int,
                      skip: int) -> list[tuple[int, float]] | None:
@@ -361,31 +364,50 @@ class SearchEngine:
             .select("field", "term", "doc_ids_bin", "tfs_bin", "dls_bin")
             .collect()
         )
+        import numpy as np
+
         from resin_spark.postings import decode_counts, decode_doc_ids
 
-        # per-key doc -> (tf, dl); mirrors the mask agg (sum tf, max dl —
-        # surface mode has one row per (doc, key), so both are identity)
-        per_key: list[dict] = [dict() for _ in keys]
+        # per-key sorted-unique (doc_id, tf, dl) arrays; mirrors the mask
+        # agg (sum tf, max dl — surface mode has one row per (doc, key),
+        # so both are identity).  All O(Σdf), no nkeys×ndocs dense state.
+        bufs: list[list] = [[] for _ in keys]
         for r in rows:
             i = idx.get((r["field"], r["term"]))
-            if i is None:
+            if i is not None:
+                bufs[i].append((bytes(r["doc_ids_bin"]), bytes(r["tfs_bin"]),
+                                bytes(r["dls_bin"])))
+        empty64 = np.empty(0, dtype=np.int64)
+        uid_k, tf_k, dl_k = [], [], []
+        for blist in bufs:
+            if not blist:
+                uid_k.append(empty64)
+                tf_k.append(empty64)
+                dl_k.append(empty64)
                 continue
-            ids = decode_doc_ids(bytes(r["doc_ids_bin"])).tolist()
-            tfs = decode_counts(bytes(r["tfs_bin"])).tolist()
-            dls = decode_counts(bytes(r["dls_bin"])).tolist()
-            d = per_key[i]
-            for did, tf, dl in zip(ids, tfs, dls):
-                old = d.get(did)
-                d[did] = (tf, dl) if old is None else (old[0] + tf,
-                                                       max(old[1], dl))
-        mask_of: dict[int, int] = {}
-        for i, d in enumerate(per_key):
-            bit = 1 << i
-            for did in d:
-                mask_of[did] = mask_of.get(did, 0) | bit
-        observed: dict[int, int] = {}
-        for m in mask_of.values():
-            observed[m] = observed.get(m, 0) + 1
+            ids = np.concatenate([decode_doc_ids(b) for b, _, _ in blist])
+            tfs = np.concatenate([decode_counts(b) for _, b, _ in blist])
+            dls = np.concatenate([decode_counts(b) for _, _, b in blist])
+            uid, inv = np.unique(ids, return_inverse=True)
+            tf = np.zeros(len(uid), dtype=np.int64)
+            np.add.at(tf, inv, tfs)
+            dl = np.zeros(len(uid), dtype=np.int64)
+            np.maximum.at(dl, inv, dls)
+            uid_k.append(uid)
+            tf_k.append(tf)
+            dl_k.append(dl)
+        uids = np.unique(np.concatenate(uid_k)) if any(
+            len(u) for u in uid_k) else empty64
+        if not len(uids):
+            return []
+        mask_arr = np.zeros(len(uids), dtype=np.int64)
+        for i, uid in enumerate(uid_k):
+            if len(uid):
+                mask_arr[np.searchsorted(uids, uid)] |= np.int64(1 << i)
+        mvals, mcounts = np.unique(mask_arr, return_counts=True)
+        if len(mvals) > self._MASK_MAX_CLASSES:
+            return None
+        observed = {int(m): int(c) for m, c in zip(mvals, mcounts)}
         state = self._mask_reduce(q, None, observed, df_by_key, idx,
                                   "surface")
         if state is None or not state[0]:
@@ -401,22 +423,35 @@ class SearchEngine:
             idf_of[i] = self.idf(st["n_docs"], df_by_key[i])
             avgdl_of[i] = st["avgdl"] if st["n_docs"] else 1.0
         one_minus_b = 1.0 - BB
-        hits = []
-        for did, m in mask_of.items():
-            if m not in masks:
+        # per mask class, the BM25 weight sum runs left-associatively in
+        # S[mask] order over float64 vectors — the exact op tree of the
+        # distributed mask fold, just elementwise over the class at once
+        did_parts, score_parts = [], []
+        for m in masks:
+            if m not in observed:
                 continue
-            score = 0.0
-            first = True
+            sel = np.flatnonzero(mask_arr == m)
+            dids = uids[sel]
+            score = None
             for i in S[m]:
-                tf, dl = per_key[i][did]
+                j = np.searchsorted(uid_k[i], dids)
+                tf = tf_k[i][j]
                 w = idf_of[i] * (
-                    tf / (tf + K1 * (one_minus_b + BB * dl / avgdl_of[i]))
+                    tf / (tf + K1 * (one_minus_b
+                                     + BB * dl_k[i][j] / avgdl_of[i]))
                 )
-                score = w if first else score + w
-                first = False
-            hits.append((did, score))
-        hits.sort(key=lambda x: (-x[1], x[0]))
-        return hits[skip:skip + k] if k else hits[skip:]
+                score = w if score is None else score + w
+            if score is None:
+                score = np.zeros(len(dids), dtype=np.float64)
+            did_parts.append(dids)
+            score_parts.append(score)
+        if not did_parts:
+            return []
+        all_dids = np.concatenate(did_parts)
+        all_scores = np.concatenate(score_parts)
+        order = np.lexsort((all_dids, -all_scores))
+        take = order[skip:skip + k] if k else order[skip:]
+        return [(int(all_dids[t]), float(all_scores[t])) for t in take]
 
     def _fetch_hits(self, hits: list[tuple[int, float]],
                     sel: list[str] | None) -> DataFrame:
