@@ -1,0 +1,112 @@
+"""Q3 — HTTP surface tests: GET/POST /query, POST /write, GET /status
+against a live in-process server (ThreadingHTTPServer on an ephemeral
+port), results asserted identical to the direct SearchEngine calls."""
+
+import json
+import os
+import urllib.request
+from urllib.parse import urlencode
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def http_server(spark, index_root):
+    from resin_spark.http import ResinHttpServer
+
+    # index_root is .../idx/collection — serve its parent so the
+    # collection name routes to it
+    root_dir = os.path.dirname(index_root)
+    with ResinHttpServer(spark, root_dir) as srv:
+        yield srv
+
+
+def _get(srv, path, **params):
+    qs = urlencode([(k, x) for k, v in params.items()
+                    for x in (v if isinstance(v, list) else [v])])
+    req = urllib.request.Request(
+        f"http://{srv.host}:{srv.port}{path}?{qs}")
+    with urllib.request.urlopen(req) as resp:
+        return json.loads(resp.read()), dict(resp.headers)
+
+
+def _post(srv, path, body, **params):
+    qs = urlencode(params)
+    req = urllib.request.Request(
+        f"http://{srv.host}:{srv.port}{path}?{qs}",
+        data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"}, method="POST")
+    with urllib.request.urlopen(req) as resp:
+        return json.loads(resp.read()), dict(resp.headers)
+
+
+def test_get_query_matches_engine(http_server, engine):
+    rows, headers = _get(http_server, "/query", collection="collection",
+                         q="banana", field="text", OR="", take=5)
+    want = engine.topk({"or": {"text": "banana"}}, k=5)
+    assert [((r["conv_id"], r["turn_idx"]), r["score"]) for r in rows] \
+        == [(d, pytest.approx(s)) for d, s in want]
+    assert int(headers["X-TotalDocumentCount"]) == len(rows)
+
+
+def test_get_query_and_flag_and_total(http_server, engine):
+    rows, headers = _get(http_server, "/query", collection="collection",
+                         q="banana cantalope", field="text", AND="",
+                         take=3, total="true")
+    want = engine.topk({"and": {"text": "banana cantalope"}}, k=3)
+    assert [(r["conv_id"], r["turn_idx"]) for r in rows] \
+        == [d for d, _ in want]
+    full = engine.search({"and": {"text": "banana cantalope"}}, k=0).count()
+    assert int(headers["X-TotalDocumentCount"]) == full >= len(rows)
+
+
+def test_get_query_flagless_is_not_op(http_server):
+    # QueryParser.cs:56-67: neither AND nor OR -> "not" -> matches nothing
+    rows, _ = _get(http_server, "/query", collection="collection",
+                   q="banana", field="text", take=5)
+    assert rows == []
+
+
+def test_post_query_dict_body(http_server, engine):
+    body = {"and": {"text": "banana", "not": {"text": "apples"}}}
+    rows, _ = _post(http_server, "/query", body, collection="collection",
+                    take=4)
+    want = engine.topk(body, k=4)
+    assert [(r["conv_id"], r["turn_idx"]) for r in rows] \
+        == [d for d, _ in want]
+
+
+def test_status_and_write_roundtrip(http_server, spark, tmp_path,
+                                    transcripts):
+    from resin_spark.build import build_index
+
+    # a private collection so the write doesn't disturb shared fixtures
+    root_dir = str(tmp_path / "httpw")
+    build_index(spark, transcripts.limit(20), f"{root_dir}/c2",
+                write_doclens=True)
+    from resin_spark.http import ResinHttpServer
+
+    with ResinHttpServer(spark, root_dir) as srv:
+        st0, _ = _get(srv, "/status", collection="c2")
+        doc = {"conv_id": "convhttp01", "turn_idx": 0, "role": "user",
+               "text": "zanzibar quokka banana", "tool": "",
+               "ts": "2025-06-01 10:00:00"}
+        res, _ = _post(srv, "/write", [doc], collection="c2")
+        assert "segment" in res
+        st1, _ = _get(srv, "/status", collection="c2")
+        assert st1["doc_count"] == st0["doc_count"] + 1
+        rows, _ = _get(srv, "/query", collection="c2", q="zanzibar",
+                       field="text", OR="", take=3)
+        assert [(r["conv_id"], r["turn_idx"]) for r in rows] \
+            == [("convhttp01", 0)]
+
+
+def test_error_routes(http_server):
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(http_server, "/nope")
+    assert e.value.code == 404
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(http_server, "/query", q="x")  # no collection
+    assert e.value.code == 400
