@@ -122,6 +122,26 @@ def cmd_stream(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Host the Q3 HTTP surface (http.ResinHttpServer) over a directory
+    of collections — the Sir.HttpServer role: one driver process listens;
+    each request runs as Spark jobs on the shared session."""
+    from resin_spark.http import ResinHttpServer
+
+    spark = _session(args)
+    srv = ResinHttpServer(spark, args.root_dir, host=args.host,
+                          port=args.port).start()
+    print(f"serving {args.root_dir} on http://{srv.host}:{srv.port}")
+    try:
+        import signal
+        signal.pause()
+    except (KeyboardInterrupt, AttributeError):
+        pass
+    finally:
+        srv.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="resin_spark")
     p.add_argument("--master", default="local[*]")
@@ -171,6 +191,12 @@ def main(argv: list[str] | None = None) -> int:
     st.add_argument("--checkpoint", required=True)
     st.add_argument("--continuous", action="store_true")
 
+    sv = sub.add_parser("serve")
+    sv.add_argument("--root-dir", required=True,
+                    help="directory whose subdirs are collections")
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=8080)
+
     args = p.parse_args(argv)
     return {
         "package": cmd_package,
@@ -180,6 +206,7 @@ def main(argv: list[str] | None = None) -> int:
         "optimize": cmd_optimize,
         "truncate": cmd_truncate,
         "stream": cmd_stream,
+        "serve": cmd_serve,
     }[args.cmd](args)
 
 
