@@ -41,6 +41,15 @@ def package_zip() -> str:
 def ensure_package_shipped(spark: SparkSession) -> None:
     if getattr(spark, _SHIPPED_ATTR, False):
         return
+    import resin_spark
+
+    pkg_dir = os.path.dirname(os.path.abspath(resin_spark.__file__))
+    if not os.path.isdir(pkg_dir):
+        # imported from a zip: we ARE running under spark-submit
+        # --py-files (or a prior addPyFile) - the zip is already on every
+        # executor's PYTHONPATH, and re-archiving a zip member would fail
+        setattr(spark, _SHIPPED_ATTR, True)
+        return
     spark.sparkContext.addPyFile(package_zip())
     setattr(spark, _SHIPPED_ATTR, True)
 
