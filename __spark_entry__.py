@@ -391,6 +391,30 @@ def _q_ngram_jaccard(spark, sf):
     ).orderBy("id_a", "id_b")
 
 
+def _q_ivf_topk(spark, sf):
+    """ANN top-k over an IVF (k-means coarse quantizer) layout — the
+    second classic ANN family next to hyperplane LSH.  Training is
+    iterative (Lloyd), so this entry has NO one-shot SQL oracle (driver
+    records rows-only); exactness pins live in
+    tests/test_dedup_textops.py: deterministic centroids, full-probe ==
+    exact cosine ranking, partition-pruned probe scans, recall floor."""
+    import tempfile
+
+    from resin_spark import similarity
+
+    emb = _emb(spark, sf)
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    root = tempfile.mkdtemp(prefix="resin_emb_ivf_")
+    similarity.write_ivf_embeddings(emb, root, n_clusters=8, iters=3, dim=64)
+    out = similarity.ivf_topk(spark, root, [float(x) for x in q],
+                              k=100, n_probes=3)
+    return (
+        out.select("vec_id", F.round("cosine", 4).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
 def _q_emb_neardup(spark, sf):
     from resin_spark import similarity
 
@@ -610,6 +634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": _q_simhash_pairs,
         "emb_ann_topk": _q_ann_topk,
         "emb_ann_bucketed": _q_ann_bucketed,
+        "emb_ivf_topk": _q_ivf_topk,
         "dedup_emb_neardup": _q_emb_neardup,
         "text_gopher": _q_gopher_quality,
         "stream_window_counts": _q_stream_window_counts,

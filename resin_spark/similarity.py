@@ -42,6 +42,7 @@ import hashlib
 import math
 from functools import reduce as _functools_reduce
 
+import pandas as pd  # noqa: F401 - resolves pandas-UDF type hints
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -458,6 +459,168 @@ def ann_topk_bucketed(spark, root: str, qvec: list[float], k: int = 10,
         .orderBy(F.desc("cosine"), F.asc(meta["key"]))
         .limit(k)
     )
+
+
+# ------------------------------------------------------------------ IVF
+# The second classic ANN family next to LSH: an IVF (inverted-file) index
+# with a k-means coarse quantizer.  Train centroids with distributed
+# Lloyd iterations (assignment = Arrow-batched broadcast matmul on the
+# executors; update = exact int64 per-dimension sums so the reduce is
+# order-independent), persist the table partitioned by nearest-centroid
+# cell, and answer queries by probing the n_probes nearest cells with an
+# exact cosine re-rank — a partition-pruned scan reading ~n_probes/k of
+# the files.  Role analog of the reference's trained vector-space tree
+# (/root/reference/src/Sir.VectorSpace/GraphBuilder.cs:15-76: centroids
+# emerge from IdenticalAngle/FoldAngle merges; here from k-means), which
+# likewise routes a query down stored cluster representatives instead of
+# scanning every vector.  K-means is iterative, so this family has no
+# one-shot SQL oracle; correctness is pinned by determinism + recall
+# floors + partition-pruning plan gates in tests/test_dedup_textops.py.
+
+
+def _assign_cluster_udf(centroids):
+    """pandas UDF: nearest-centroid id by cosine (argmax of normalized
+    matmul; ties -> lowest id).  Broadcast-matmul is the scale path for
+    large k — a k*dim literal expression tree would not codegen."""
+    import numpy as np
+    import pandas as pd  # noqa: F811 - also module-level for UDF hints
+
+    cn = np.asarray(centroids, dtype=np.float64)
+    cn = cn / np.maximum(np.linalg.norm(cn, axis=1, keepdims=True), 1e-12)
+
+    @F.pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        v = np.asarray(vecs.tolist(), dtype=np.float64)
+        v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(v @ cn.T, axis=1).astype("int32"))
+
+    return assign
+
+
+def train_ivf_centroids(df: DataFrame, n_clusters: int = 16, iters: int = 5,
+                        key: str = "vec_id", vec: str = "embedding",
+                        dim: int | None = None) -> list[list[float]]:
+    """Distributed Lloyd k-means over the embedding column, deterministic
+    end to end:
+
+    * init: the ``n_clusters`` rows with the smallest md5(key) lane — a
+      seedless pseudo-random draw reproducible in any engine;
+    * assignment: Arrow-batched broadcast matmul (numpy float64, ties to
+      the lowest centroid id);
+    * update: per-cell element-wise sums of the QUANTIZED (int64)
+      embeddings — integer adds commute, so the shuffle reduce is exact
+      and order-independent; centroids derive from the exact sums on the
+      driver.  Only k*dim ints + k counts cross to the driver per round.
+
+    Empty cells keep their previous centroid.  At 10^12 rows train on a
+    hash-sampled subset (``df.filter(md5-lane < rate)``) — the update
+    shuffle is one groupBy over k cells either way."""
+    d = dim or _dim_of(df, vec)
+    from resin_spark.dedup import _md5_lane_col
+
+    seeds = (
+        df.select(F.col(vec).alias("v"),
+                  _md5_lane_col(F.col(key).cast("string"), 1).alias("h"))
+        .orderBy("h")
+        .limit(n_clusters)
+        .collect()
+    )
+    cents = [[float(x) for x in r["v"]] for r in seeds]
+    if len(cents) < n_clusters:
+        n_clusters = len(cents)
+
+    qv = df.select(quantize_col(F.col(vec)).alias("q"), F.col(vec).alias("v"))
+    for _ in range(iters):
+        assigned = qv.withColumn("cl", _assign_cluster_udf(cents)(F.col("v")))
+        agg = (
+            assigned.groupBy("cl")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 *[F.sum(F.element_at("q", i + 1)).alias(f"s{i}")
+                   for i in range(d)])
+            .collect()
+        )
+        nxt = list(cents)
+        for r in agg:
+            if r["n"]:
+                nxt[r["cl"]] = [r[f"s{i}"] / (r["n"] * QUANT)
+                                for i in range(d)]
+        cents = nxt
+    return cents
+
+
+def write_ivf_embeddings(df: DataFrame, root: str, n_clusters: int = 16,
+                         iters: int = 5, key: str = "vec_id",
+                         vec: str = "embedding",
+                         dim: int | None = None) -> dict:
+    """Persist the embedding table partitioned by IVF cell:
+    ``{root}/data/cl=C/...`` Parquet + ``{root}/meta.json`` holding the
+    trained centroids.  Stored per row: key, raw embedding, float64 norm,
+    cell id.  Queries prune at the directory level (see ivf_topk)."""
+    import json
+    import os
+
+    d = dim or _dim_of(df, vec)
+    cents = train_ivf_centroids(df, n_clusters, iters, key, vec, dim=d)
+    out = df.select(
+        F.col(key), F.col(vec), _norm(F.col(vec)).alias("nrm"),
+        _assign_cluster_udf(cents)(F.col(vec)).alias("cl"),
+    )
+    (out.repartition("cl")
+        .write.mode("overwrite").partitionBy("cl")
+        .parquet(os.path.join(root, "data")))
+    meta = {"key": key, "vec": vec, "dim": d, "n_clusters": len(cents),
+            "centroids": cents}
+    with open(os.path.join(root, "meta.json"), "w") as fh:
+        json.dump(meta, fh)
+    return meta
+
+
+def ivf_probes(qvec: list[float], centroids: list[list[float]],
+               n_probes: int) -> list[int]:
+    """The n_probes nearest cells to the query, by cosine (driver-side:
+    k*dim floats, no Spark job)."""
+    import numpy as np
+
+    c = np.asarray(centroids, dtype=np.float64)
+    c = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+    q = np.asarray(qvec, dtype=np.float64)
+    q = q / max(float(np.linalg.norm(q)), 1e-12)
+    order = np.argsort(-(c @ q), kind="stable")
+    return sorted(int(i) for i in order[:n_probes])
+
+
+def ivf_topk(spark, root: str, qvec: list[float], k: int = 10,
+             n_probes: int = 4) -> DataFrame:
+    """ANN top-k over the IVF layout: probe the n_probes nearest cells
+    (filter on the PARTITION column -> files read ∝ probed cells), exact
+    cosine re-rank with the stored norm.  recall/cost dial = n_probes/k
+    cells scanned."""
+    import math as _math
+    import os
+
+    meta = read_ivf_meta(root)
+    probes = ivf_probes(qvec, meta["centroids"], n_probes)
+    cand = (
+        spark.read.parquet(os.path.join(root, "data"))
+        .filter(F.col("cl").isin(probes))
+    )
+    qn = _math.sqrt(sum(float(x) * float(x) for x in qvec)) or 1.0
+    cos = _dot(F.col(meta["vec"]), qvec) / (F.col("nrm") * F.lit(qn))
+    return (
+        cand.select(F.col(meta["key"]), cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(meta["key"]))
+        .limit(k)
+    )
+
+
+def read_ivf_meta(root: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(root, "meta.json")) as fh:
+        return json.load(fh)
 
 
 def cosine_neardup_pairs_bucketed(spark, root: str, threshold: float = 0.95,

@@ -485,3 +485,51 @@ def test_stopword_table_integrity():
     assert digest == "9e7d09438043ed1b526d7be5029224fd"
     assert list(textops.STOPWORDS)[:4] == ["en", "es", "fr", "de"]
     assert all(len(v) >= 10 for v in textops.STOPWORDS.values())
+
+
+# ------------------------------------------------------------------ IVF
+def test_ivf_layout_pruning_recall_and_determinism(spark, tmp_path, embeddings):
+    """IVF coarse-quantizer layout: (a) training + assignment are
+    deterministic (same meta twice), (b) probed queries read only probed
+    cell directories (partition pruning), (c) recall vs exact cosine
+    top-k clears a floor at a fraction of the scan, (d) probing ALL
+    cells reproduces the exact ranking (IVF is lossless at full probe)."""
+    import os
+
+    df, vecs = embeddings
+    root_a = str(tmp_path / "ivf_a")
+    root_b = str(tmp_path / "ivf_b")
+    meta_a = similarity.write_ivf_embeddings(df, root_a, n_clusters=8,
+                                             iters=3, dim=8)
+    meta_b = similarity.write_ivf_embeddings(df, root_b, n_clusters=8,
+                                             iters=3, dim=8)
+    assert meta_a["centroids"] == meta_b["centroids"]  # deterministic
+
+    q = [float(x) for x in vecs[0]]
+    exact = [r["vec_id"] for r in similarity.cosine_topk(df, q, k=5).collect()]
+
+    # full probe == exact (the candidate generator loses nothing when
+    # every cell is probed)
+    full = [r["vec_id"] for r in
+            similarity.ivf_topk(spark, root_a, q, k=5,
+                                n_probes=meta_a["n_clusters"]).collect()]
+    assert full == exact
+
+    got_df = similarity.ivf_topk(spark, root_a, q, k=5, n_probes=2)
+    got = [r["vec_id"] for r in got_df.collect()]
+    assert len(set(got) & set(exact)) >= 4  # recall@5 >= 0.8 at 2/8 cells
+
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cl" in plan
+    probes = set(similarity.ivf_probes(q, meta_a["centroids"], 2))
+    touched = [r[0] for r in
+               spark.read.parquet(os.path.join(root_a, "data"))
+               .filter(F.col("cl").isin(sorted(probes)))
+               .select(F.input_file_name()).distinct().collect()]
+    assert touched
+    for path in touched:
+        assert int(path.split("cl=")[1].split("/")[0]) in probes
+    all_cells = {int(d.split("=")[1])
+                 for d in os.listdir(os.path.join(root_a, "data"))
+                 if d.startswith("cl=")}
+    assert len(all_cells - probes) > 0
