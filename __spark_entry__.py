@@ -503,6 +503,47 @@ def _q_stream_sessions(spark, sf):
     return sessionize(ev, gap="30 minutes").orderBy("user_id", "sess_start")
 
 
+def _q_pack_sequences(spark, sf):
+    """Concat-then-chunk sequence packing (resin_spark/datasets.py): per
+    language shard, docs lie on a token tape cut into 256-token packs;
+    integer-exact window arithmetic, oracle-identical in DuckDB."""
+    from resin_spark import datasets
+    from resin_spark.tokenizer import tokens_col
+
+    d = _docs(spark, sf).select(
+        "doc_id", "lang", F.size(tokens_col("text")).cast("long").alias("n_tokens")
+    )
+    out = datasets.pack_sequences(d, capacity=256, tokens="n_tokens",
+                                  shard="lang", order_by=("doc_id",))
+    return out.select(
+        "doc_id", "lang", "n_tokens",
+        F.col("tape_pos").cast("long").alias("tape_pos"),
+        F.col("start_pack").cast("long").alias("start_pack"),
+        "start_offset",
+        F.col("end_pack").cast("long").alias("end_pack"),
+    ).orderBy("lang", "doc_id")
+
+
+def _q_stratified_sample(spark, sf):
+    """Deterministic md5-lane Bernoulli sample, per-language rates
+    (resin_spark/datasets.py) — same rows kept in Spark and DuckDB."""
+    from resin_spark import datasets
+
+    out = datasets.stratified_sample(
+        _docs(spark, sf), rates={"en": 0.5, "de": 0.25}, strata="lang",
+        key="doc_id", salt="s0", default_rate=0.1)
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
+def _q_topk_ngrams(spark, sf):
+    """Top-20 token bigrams by corpus count (resin_spark/datasets.py)."""
+    from resin_spark import datasets
+    from resin_spark.tokenizer import tokens_col
+
+    return datasets.topk_ngrams(_docs(spark, sf), tokens_col("text"),
+                                n=2, k=20)
+
+
 def _q_gopher_quality(spark, sf):
     """Gopher-rule quality filter (public heuristics, Rae et al. 2021
     A1.1): per-doc metrics + pass verdict over the documents table."""
@@ -637,6 +678,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_topk": _q_ivf_topk,
         "dedup_emb_neardup": _q_emb_neardup,
         "text_gopher": _q_gopher_quality,
+        # dataset-assembly ops (resin_spark/datasets.py)
+        "text_pack_sequences": _q_pack_sequences,
+        "text_stratified_sample": _q_stratified_sample,
+        "text_topk_ngrams": _q_topk_ngrams,
         "stream_window_counts": _q_stream_window_counts,
         "stream_sessions": _q_stream_sessions,
         "dedup_components": _q_dedup_components,
@@ -1082,6 +1127,40 @@ FROM s GROUP BY user_id, sid ORDER BY user_id, sess_start
 """,
         # Gopher rules: identical expression trees (exact-int numerators,
         # one double division) so ratios are bit-equal before round(6)
+        "text_pack_sequences": f"""
+WITH d AS (
+  SELECT doc_id, lang, len({TOKS})::BIGINT AS n_tokens FROM documents
+),
+c AS (
+  SELECT doc_id, lang, n_tokens,
+         (sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) - n_tokens)::BIGINT AS tape_pos
+  FROM d
+)
+SELECT doc_id, lang, n_tokens, tape_pos,
+       (tape_pos // 256)::BIGINT AS start_pack,
+       (tape_pos % 256)::BIGINT AS start_offset,
+       ((tape_pos + greatest(n_tokens, 1) - 1) // 256)::BIGINT AS end_pack
+FROM c ORDER BY lang, doc_id
+""",
+        "text_stratified_sample": """
+SELECT doc_id, lang FROM documents
+WHERE ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||'|'||'s0'),1,8))::BIGINT
+      % 1000000
+      < CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
+                  ELSE 100000 END
+ORDER BY doc_id
+""",
+        "text_topk_ngrams": f"""
+WITH t AS (SELECT {TOKS} AS toks FROM documents),
+g AS (
+  SELECT array_to_string(toks[CAST(i AS BIGINT):CAST(i AS BIGINT)+1],
+                         ' ') AS ngram
+  FROM t, UNNEST(range(1, len(toks) - 2 + 2)) AS u(i)
+)
+SELECT ngram, count(*)::BIGINT AS cnt FROM g GROUP BY ngram
+ORDER BY cnt DESC, ngram ASC LIMIT 20
+""",
         "text_gopher": f"""
 WITH base AS (
   SELECT doc_id, coalesce(text, '') AS t,

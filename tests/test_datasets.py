@@ -1,0 +1,96 @@
+"""Dataset-assembly operators (resin_spark/datasets.py): sequence
+packing invariants, deterministic stratified sampling, n-gram top-k vs a
+pure-Python twin, and plan gates (no Python in the row path; packing
+shuffles once on the shard key)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from resin_spark import datasets
+from resin_spark.tokenizer import tokenize_py, tokens_col
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (i,
+         " ".join(f"w{(i * 7 + j) % 13}" for j in range((i * 31) % 40)),
+         ["en", "de", "fr"][i % 3])
+        for i in range(60)
+    ] + [(60, "", "en")]  # zero-token doc
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_pack_sequences_invariants(spark, docs):
+    d = docs.select(
+        "doc_id", "lang",
+        F.size(tokens_col("text")).cast("long").alias("n_tokens"))
+    out = datasets.pack_sequences(d, capacity=64, tokens="n_tokens",
+                                  shard="lang").collect()
+    by_shard: dict = {}
+    for r in out:
+        by_shard.setdefault(r["lang"], []).append(r)
+    assert set(by_shard) == {"en", "de", "fr"}
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r["doc_id"])
+        pos = 0
+        for r in rows:
+            # the tape is gapless and in doc order
+            assert r["tape_pos"] == pos
+            assert r["start_pack"] == pos // 64
+            assert r["start_offset"] == pos % 64
+            last = pos + max(r["n_tokens"], 1) - 1
+            assert r["end_pack"] == last // 64
+            assert r["end_pack"] >= r["start_pack"]
+            pos += r["n_tokens"]
+
+
+def test_pack_sequences_plan(spark, docs):
+    d = docs.select(
+        "doc_id", "lang",
+        F.size(tokens_col("text")).cast("long").alias("n_tokens"))
+    plan = (datasets.pack_sequences(d, capacity=64, shard="lang")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Python" not in plan  # all-JVM row path
+    # exactly one exchange: the hash partitioning on the shard key
+    assert plan.count("Exchange") == 1 and "hashpartitioning(lang" in plan
+
+
+def test_stratified_sample_deterministic_and_rated(spark, docs):
+    rates = {"en": 0.6, "de": 0.2}
+    a = {r["doc_id"] for r in datasets.stratified_sample(
+        docs, rates, strata="lang", salt="s0", default_rate=0.0).collect()}
+    b = {r["doc_id"] for r in datasets.stratified_sample(
+        docs.repartition(7), rates, strata="lang", salt="s0",
+        default_rate=0.0).collect()}
+    assert a == b  # partitioning-independent
+    c = {r["doc_id"] for r in datasets.stratified_sample(
+        docs, rates, strata="lang", salt="s1", default_rate=0.0).collect()}
+    assert a != c  # independent draw per salt
+    langs = {r["doc_id"]: r["lang"] for r in docs.collect()}
+    assert all(langs[i] in rates for i in a)  # default_rate=0 excludes fr
+    # python twin of the keep rule
+    import hashlib
+
+    def keep(doc_id, rate):
+        h = int(hashlib.md5(f"{doc_id}|s0".encode()).hexdigest()[:8], 16)
+        return (h % 1_000_000) < int(rate * 1_000_000)
+
+    want = {i for i, lg in langs.items()
+            if lg in rates and keep(i, rates[lg])}
+    assert a == want
+
+
+def test_topk_ngrams_matches_python_twin(spark, docs):
+    from collections import Counter
+
+    got = [(r["ngram"], r["cnt"])
+           for r in datasets.topk_ngrams(docs, tokens_col("text"),
+                                         n=2, k=15).collect()]
+    cnt: Counter = Counter()
+    for r in docs.collect():
+        toks = tokenize_py(r["text"])
+        for i in range(len(toks) - 1):
+            cnt[toks[i] + " " + toks[i + 1]] += 1
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    assert got == want
