@@ -161,6 +161,15 @@ def _q_dedup_exact(spark, sf):
     )
 
 
+def _q_dedup_first_seen(spark, sf):
+    """Batch form of the applyInPandasWithState first-seen dedup
+    (resin_spark/streaming.py) — the stream's Pandas fn under an
+    empty-state shim, hash-checked against plain SQL."""
+    from resin_spark import streaming
+
+    return streaming.first_seen_dedup(_docs(spark, sf)).orderBy("fp")
+
+
 def _q_tok_counts(spark, sf):
     from resin_spark import textops
 
@@ -654,6 +663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_not": _q_bm25_not,
         "ft_chars_key": _q_chars_key,
         "dedup_exact": _q_dedup_exact,
+        "dedup_first_seen": _q_dedup_first_seen,
         "text_tok_counts": _q_tok_counts,
         "text_quality": _q_quality,
         "text_langid": _q_langid,
@@ -1072,6 +1082,13 @@ WITH fps AS (
 )
 SELECT fp, count(*)::BIGINT AS n_dups, min(doc_id) AS keep_id
 FROM fps GROUP BY fp HAVING count(*) > 1 ORDER BY fp
+""",
+        "dedup_first_seen": f"""
+WITH fps AS (
+  SELECT doc_id, md5(array_to_string({TOKS}, ' ')) AS fp FROM documents
+)
+SELECT fp, min(doc_id) AS keep_id, (count(*) - 1)::BIGINT AS batch_dups
+FROM fps GROUP BY fp ORDER BY fp
 """,
         "text_tok_counts": f"""
 SELECT doc_id,

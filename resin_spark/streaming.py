@@ -154,6 +154,134 @@ def windowed_event_counts(df: DataFrame, window: str = "1 hour",
     )
 
 
+def stream_exact_dedup(df: DataFrame, key: str = "doc_id",
+                       text: str = "text", ts: str = "ts",
+                       within_watermark: str | None = None) -> DataFrame:
+    """Streaming exact dedup, declarative form: fingerprint the text and
+    keep one row per fingerprint.
+
+    * streaming + ``within_watermark``: ``dropDuplicatesWithinWatermark``
+      — per-key state is EVICTED once the watermark passes its event
+      time, so state stays bounded at 100 TB/day ingest (duplicates
+      farther apart than the watermark are deliberately re-admitted;
+      that is the documented contract of the bounded-state form).
+    * streaming, no watermark: ``dropDuplicates`` — exact forever, state
+      grows with distinct keys (fine for bounded key spaces).
+    * batch: the deterministic min-key representative
+      (:func:`resin_spark.dedup.exact_dedup`), the parity twin asserted
+      in tests.
+
+    Streaming keeps the FIRST ARRIVAL per fingerprint (order = arrival);
+    the batch twin keeps min(key).  The two agree whenever ingestion is
+    key-ordered (the transcript producer's natural order) — asserted in
+    tests/test_streaming.py.
+    """
+    from resin_spark.textops import fingerprint_col
+
+    if not df.isStreaming:
+        from resin_spark.dedup import exact_dedup
+
+        return exact_dedup(df, key, text)
+    w = df.select("*", fingerprint_col(text).alias("_fp"))
+    if within_watermark is not None:
+        w = _with_watermark(w, ts, within_watermark)
+        return w.dropDuplicatesWithinWatermark(["_fp"]).drop("_fp")
+    return w.dropDuplicates(["_fp"]).drop("_fp")
+
+
+def first_seen_dedup(df: DataFrame, key: str = "doc_id",
+                     text: str = "text") -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    one output row per text fingerprint — the first-seen occurrence —
+    with duplicate accounting.
+
+    Semantics per fingerprint group:
+
+    * the first micro-batch that carries the fingerprint emits ONE row
+      ``(fp, keep_id, batch_dups)`` where ``keep_id`` is the smallest
+      ``key`` among that batch's occurrences (deterministic within-batch
+      tie-break) and ``batch_dups`` counts the other same-batch
+      occurrences suppressed;
+    * every later batch only bumps the per-key state counter — nothing
+      re-emits, so downstream sees each novel document exactly once (the
+      training-data ingest contract: "new docs only" feeds).
+
+    State is one int64 per distinct fingerprint (seen-count).  The same
+    ``fn`` runs in BATCH mode through ``applyInPandas`` with an
+    empty-state shim (Spark 4 rejects the stateful API on batch frames;
+    each key is one group with no prior state), where it equals
+    ``GROUP BY fp -> min(key), count(*)-1`` — that batch form is the
+    DuckDB oracle entry
+    ``dedup_first_seen`` wired in ``__spark_entry__.py``, so the exact
+    Pandas code path the stream executes is hash-checked against SQL.
+
+    Role analog: the reference's write session dedupes within-document
+    term postings via ``AddIfUnique`` during ingest
+    (/root/reference/src/Sir.Search/Session/WriteSession.cs:37-76); here
+    the unit is whole documents across an unbounded stream, with Spark's
+    state store supplying the persistence the reference gets from its
+    in-memory dictionaries.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+    from resin_spark.textops import fingerprint_col
+
+    w = df.select(F.col(key).alias("id"), fingerprint_col(text).alias("fp"))
+    out_schema = StructType([
+        StructField("fp", StringType()),
+        StructField("keep_id", w.schema["id"].dataType),
+        StructField("batch_dups", LongType()),
+    ])
+
+    def fn(group_key, pdfs, state):
+        import pandas as pd
+
+        total = 0
+        best = None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            total += len(pdf)
+            m = pdf["id"].min()
+            best = m if best is None else min(best, m)
+        seen = state.get[0] if state.exists else 0
+        state.update((seen + total,))
+        if seen == 0 and best is not None:
+            yield pd.DataFrame(
+                {"fp": [group_key[0]], "keep_id": [best],
+                 "batch_dups": [total - 1]}
+            )
+
+    if df.isStreaming:
+        return w.groupBy("fp").applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType="seen long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    # Batch mode: Spark 4 rejects applyInPandasWithState on batch frames,
+    # so run the SAME fn via applyInPandas with an empty-state shim (each
+    # key is one group with no prior state) — the code path the stream
+    # executes is what gets oracle-checked.
+    class _NoState:
+        exists = False
+        get = None
+
+        def update(self, value):
+            pass
+
+    def batch_fn(group_key, pdf):
+        import pandas as pd
+
+        out = list(fn(group_key, iter([pdf]), _NoState()))
+        return out[0] if out else pd.DataFrame(
+            {"fp": [], "keep_id": [], "batch_dups": []})
+
+    return w.groupBy("fp").applyInPandas(batch_fn, schema=out_schema)
+
+
 def sessionize(df: DataFrame, key: str = "user_id", gap: str = "30 minutes",
                ts: str = "ts", watermark: str = "1 hour") -> DataFrame:
     """Gap-based sessionization via ``session_window`` (merge while the

@@ -141,3 +141,113 @@ def test_windowed_counts_stream_matches_batch(spark, tmp_path):
     assert got_s == [
         (1, t0, 2), (1, t0 + 3600, 1), (2, t0 - 3600, 1),
     ]
+
+
+def test_first_seen_dedup_batch_equals_groupby(spark):
+    """Batch mode of the applyInPandasWithState operator == the SQL-
+    expressible GROUP BY twin (the oracle form)."""
+    from resin_spark.streaming import first_seen_dedup
+    from resin_spark.textops import fingerprint_col
+
+    rows = [(i, ["alpha beta", "gamma delta", "alpha  BETA?"][i % 3])
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r["fp"], r["keep_id"], r["batch_dups"])
+        for r in first_seen_dedup(df).collect()
+    )
+    want = sorted(
+        (r["fp"], r["keep_id"], r["batch_dups"])
+        for r in (
+            df.select("doc_id", fingerprint_col("text").alias("fp"))
+            .groupBy("fp")
+            .agg(F.min("doc_id").alias("keep_id"),
+                 (F.count(F.lit(1)) - 1).alias("batch_dups"))
+        ).collect()
+    )
+    assert got == want
+    # fingerprint normalizes whitespace/case/punct: 2 groups, not 3
+    assert len(got) == 2
+
+
+def test_first_seen_dedup_stream_suppresses_later_batches(spark, tmp_path):
+    """Across micro-batches (one file each), a fingerprint emits exactly
+    once — in its first batch, with that batch's min id and dup count;
+    later occurrences only bump state."""
+    from resin_spark.streaming import first_seen_dedup
+
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "docs_src")
+    w1 = spark.createDataFrame(
+        [(3, "apple pie"), (1, "apple pie"), (5, "banana bread")], schema)
+    w2 = spark.createDataFrame(
+        [(0, "apple pie"), (7, "cherry cake"), (9, "cherry cake")], schema)
+    w1.coalesce(1).write.mode("append").parquet(src)
+
+    sink, ckpt = str(tmp_path / "novel"), str(tmp_path / "novel_ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            first_seen_dedup(stream)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .format("parquet")
+            .start(sink)
+        )
+        assert q.awaitTermination(300)
+
+    run()
+    w2.coalesce(1).write.mode("append").parquet(src)
+    run()
+
+    got = {r["fp"]: (r["keep_id"], r["batch_dups"])
+           for r in spark.read.parquet(sink).collect()}
+    assert len(got) == 3  # one row per distinct fingerprint, ever
+    vals = sorted(got.values())
+    # apple pie: first batch had ids {3,1} -> keep 1, one dup; doc 0 from
+    # batch 2 is suppressed.  banana: keep 5, no dup.  cherry: keep 7, 1 dup.
+    assert vals == [(1, 1), (5, 0), (7, 1)]
+
+
+def test_stream_exact_dedup_forms(spark, tmp_path):
+    """Declarative streaming dedup: batch form is the deterministic
+    exact_dedup twin; the watermarked streaming form carries both the
+    watermark and the within-watermark dedup in the analyzed plan."""
+    import datetime as dt
+
+    from resin_spark.dedup import exact_dedup
+    from resin_spark.streaming import stream_exact_dedup
+
+    rows = [
+        (i, ["apple pie", "banana bread"][i % 2],
+         dt.datetime(2024, 1, 1, 10, i, 0))
+        for i in range(8)
+    ]
+    schema = "doc_id long, text string, ts timestamp_ntz"
+    df = spark.createDataFrame(rows, schema)
+    got = sorted(r["doc_id"] for r in stream_exact_dedup(df).collect())
+    want = sorted(r["doc_id"] for r in exact_dedup(df).collect())
+    assert got == want == [0, 1]
+
+    src = str(tmp_path / "dd_src")
+    df.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = stream_exact_dedup(stream, within_watermark="10 minutes")
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "EventTimeWatermark" in plan, plan
+    assert "DeduplicateWithinWatermark" in plan, plan
+    sink, ckpt = str(tmp_path / "dd_out"), str(tmp_path / "dd_ckpt")
+    q = (out.writeStream.outputMode("append")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .format("parquet").start(sink))
+    assert q.awaitTermination(300)
+    kept = spark.read.parquet(sink).collect()
+    assert len(kept) == 2
+    assert sorted({r["text"] for r in kept}) == ["apple pie", "banana bread"]
