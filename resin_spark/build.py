@@ -163,6 +163,89 @@ def _current_pointer(root: str) -> tuple[int, dict]:
     return doc["version"], doc["dirs"]
 
 
+def _pointer_versions(root: str) -> list[int]:
+    """Sorted pointer-file versions present at ``root`` (excl. the
+    implicit version 0 = plain dirs)."""
+    import os as _os
+    import re as _re
+
+    local = root[len("file://"):] if root.startswith("file://") else root
+    if "://" not in local:
+        import glob as _glob
+
+        return sorted(
+            int(_re.fullmatch(r"_ptr_(\d+)\.json", _os.path.basename(p)).group(1))
+            for p in _glob.glob(_os.path.join(local, "_ptr_*.json"))
+        )
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    fs, jvm = _hadoop_fs(spark)
+    Path = jvm.org.apache.hadoop.fs.Path
+    if not fs.exists(Path(root)):
+        return []
+    out = []
+    for st in fs.listStatus(Path(root)):
+        m = _re.fullmatch(r"_ptr_(\d+)\.json", st.getPath().getName())
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def list_snapshots(root: str) -> list[int]:
+    """Readable snapshot versions, oldest first.  The newest is what
+    un-pinned readers resolve; older entries are time-travel targets
+    (the Iceberg-snapshot analog of the pointer-file commit).  GC policy
+    keeps {previous, current}, so after each compact exactly one older
+    snapshot stays readable — the concurrent-reader / rollback window."""
+    vers = _pointer_versions(root)
+    if not vers:
+        return [0]
+    # version 0 (plain dirs) is readable until the second compact GCs it
+    if 0 not in vers and len(vers) == 1:
+        vers = [0] + vers
+    return vers
+
+
+def _pointer_at(root: str, version: int) -> dict:
+    """Artifact-dir mapping of a SPECIFIC snapshot version (0 = plain
+    dirs).  Raises FileNotFoundError when that pointer has been GC'd."""
+    import json as _json
+
+    if version == 0:
+        avail = list_snapshots(root)
+        if 0 in avail:
+            return {}
+        raise FileNotFoundError(
+            f"snapshot 0 (plain dirs) GC'd at {root}; available: {avail}")
+    name = f"{root}/_ptr_{version:08d}.json"
+    local = name[len("file://"):] if name.startswith("file://") else name
+    if "://" not in local:
+        import os as _os
+
+        if not _os.path.exists(local):
+            raise FileNotFoundError(
+                f"snapshot {version} not readable at {root} (GC keeps only "
+                f"{{previous, current}}); available: {list_snapshots(root)}")
+        with open(local) as f:
+            return _json.load(f)["dirs"]
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    fs, jvm = _hadoop_fs(spark)
+    Path = jvm.org.apache.hadoop.fs.Path
+    if not fs.exists(Path(name)):
+        raise FileNotFoundError(
+            f"snapshot {version} not readable at {root}; "
+            f"available: {list_snapshots(root)}")
+    stream = fs.open(Path(name))
+    try:
+        data = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    finally:
+        stream.close()
+    return _json.loads(data.decode())["dirs"]
+
+
 def _write_pointer(spark, root: str, version: int, dirs: dict) -> None:
     """Commit a new artifact mapping: create _ptr_{version}.json (atomic
     create-new; never overwrites an existing pointer)."""
@@ -189,29 +272,34 @@ def _write_pointer(spark, root: str, version: int, dirs: dict) -> None:
         out.close()
 
 
-def _artifact(root: str, name: str) -> str:
-    _, dirs = _current_pointer(root)
+def _artifact(root: str, name: str, snapshot: int | None = None) -> str:
+    """Artifact dir for ``name`` — at the CURRENT pointer, or pinned to a
+    specific ``snapshot`` version (time travel)."""
+    if snapshot is not None:
+        dirs = _pointer_at(root, snapshot)
+    else:
+        _, dirs = _current_pointer(root)
     return f"{root}/{dirs.get(name, name)}"
 
 
-def p_docs(root: str) -> str:
-    return _artifact(root, "docs")
+def p_docs(root: str, snapshot: int | None = None) -> str:
+    return _artifact(root, "docs", snapshot)
 
 
 def p_conv_dim(root: str) -> str:
     return f"{root}/conv_dim"
 
 
-def p_postings(root: str) -> str:
-    return _artifact(root, "postings")
+def p_postings(root: str, snapshot: int | None = None) -> str:
+    return _artifact(root, "postings", snapshot)
 
 
-def p_doclens(root: str) -> str:
-    return _artifact(root, "doclens")
+def p_doclens(root: str, snapshot: int | None = None) -> str:
+    return _artifact(root, "doclens", snapshot)
 
 
-def p_stats(root: str) -> str:
-    return _artifact(root, "stats")
+def p_stats(root: str, snapshot: int | None = None) -> str:
+    return _artifact(root, "stats", snapshot)
 
 
 def p_lineage(root: str) -> str:
@@ -979,28 +1067,28 @@ def _gc_versions(spark, root: str, keep: set[int],
 
 
 # ---------------------------------------------------------------- readers
-def read_postings(spark: SparkSession, root: str) -> DataFrame:
-    return spark.read.option("basePath", p_postings(root)).parquet(
-        f"{p_postings(root)}/segment=*"
-    )
+def read_postings(spark: SparkSession, root: str,
+                  snapshot: int | None = None) -> DataFrame:
+    p = p_postings(root, snapshot)
+    return spark.read.option("basePath", p).parquet(f"{p}/segment=*")
 
 
-def read_docs(spark: SparkSession, root: str) -> DataFrame:
-    return spark.read.option("basePath", p_docs(root)).parquet(
-        f"{p_docs(root)}/segment=*"
-    )
+def read_docs(spark: SparkSession, root: str,
+              snapshot: int | None = None) -> DataFrame:
+    p = p_docs(root, snapshot)
+    return spark.read.option("basePath", p).parquet(f"{p}/segment=*")
 
 
-def read_stats(spark: SparkSession, root: str) -> DataFrame:
-    return spark.read.option("basePath", p_stats(root)).parquet(
-        f"{p_stats(root)}/segment=*"
-    )
+def read_stats(spark: SparkSession, root: str,
+               snapshot: int | None = None) -> DataFrame:
+    p = p_stats(root, snapshot)
+    return spark.read.option("basePath", p).parquet(f"{p}/segment=*")
 
 
-def read_doclens(spark: SparkSession, root: str) -> DataFrame:
-    return spark.read.option("basePath", p_doclens(root)).parquet(
-        f"{p_doclens(root)}/segment=*"
-    )
+def read_doclens(spark: SparkSession, root: str,
+                 snapshot: int | None = None) -> DataFrame:
+    p = p_doclens(root, snapshot)
+    return spark.read.option("basePath", p).parquet(f"{p}/segment=*")
 
 
 # ---------------------------------------------------------------- fs utils

@@ -46,13 +46,19 @@ class SearchEngine:
     """Facade over an index at ``root`` (SURVEY.md §7 api.py)."""
 
     def __init__(self, spark: SparkSession, root: str,
-                 fields: tuple[str, ...] = B.DEFAULT_FIELDS):
+                 fields: tuple[str, ...] = B.DEFAULT_FIELDS,
+                 snapshot: int | None = None):
+        """``snapshot`` pins every artifact read to that pointer version
+        (time travel / rollback reads over the Iceberg-style snapshot
+        commit; see build.list_snapshots).  None = follow the newest
+        pointer, re-resolved per cached reader as today."""
         from resin_spark.session import ensure_package_shipped
 
         ensure_package_shipped(spark)
         self.spark = spark
         self.root = root
         self.fields = fields
+        self.snapshot = snapshot
         self._stats: dict[str, dict] | None = None
         self._cached: list[DataFrame] = []
         self._docs_df: DataFrame | None = None
@@ -68,12 +74,12 @@ class SearchEngine:
         # directory listing + parquet footers (re-listing per query costs
         # more than the query itself on object stores)
         if self._docs_df is None:
-            self._docs_df = B.read_docs(self.spark, self.root)
+            self._docs_df = B.read_docs(self.spark, self.root, self.snapshot)
         return self._docs_df
 
     def postings(self) -> DataFrame:
         if self._postings_df is None:
-            self._postings_df = B.read_postings(self.spark, self.root)
+            self._postings_df = B.read_postings(self.spark, self.root, self.snapshot)
         return self._postings_df
 
     def term_directory(self) -> DataFrame:
@@ -190,7 +196,7 @@ class SearchEngine:
         avgdl = exact-int total_tokens / n_docs (bit-identical to oracle)."""
         if self._stats is None:
             rows = (
-                B.read_stats(self.spark, self.root)
+                B.read_stats(self.spark, self.root, self.snapshot)
                 .groupBy("field")
                 .agg(
                     F.sum("total_tokens").alias("total_tokens"),

@@ -100,3 +100,37 @@ def test_truncate_index_keeps_docs_after_compaction(spark, transcripts,
     assert not B._exists(spark, f"{root}/postings__v1")
     docs = B.read_docs(spark, root)
     assert docs.count() == n_docs
+
+
+def test_snapshot_time_travel(spark, transcripts, tmp_path):
+    """Time-travel reads over the pointer commit: an engine pinned to the
+    PREVIOUS snapshot answers from the pre-compact tree; list_snapshots
+    tracks the GC window; a GC'd snapshot raises with the available set."""
+    import pytest as _pytest
+
+    from resin_spark import build as B
+
+    root = str(tmp_path / "idx_tt")
+    build_index(spark, transcripts, root, n_segments=4)
+    assert B.list_snapshots(root) == [0]
+
+    cur = SearchEngine(spark, root)
+    want = [_results(cur, q) for q in QUERIES]
+
+    compact(spark, root)  # v0 -> v1; v0 dirs retained
+    assert B.list_snapshots(root) == [0, 1]
+    pinned = SearchEngine(spark, root, snapshot=0)
+    # pinned engine reads the ORIGINAL 4-segment tree
+    segs = {r["segment"]
+            for r in pinned.postings().select("segment").distinct().collect()}
+    assert len(segs) == 4
+    for q, w in zip(QUERIES, want):
+        _assert_same(w, _results(pinned, q))
+
+    compact(spark, root)  # v1 -> v2; v0 GC'd, v1 retained
+    assert B.list_snapshots(root) == [1, 2]
+    prev = SearchEngine(spark, root, snapshot=1)
+    for q, w in zip(QUERIES, want):
+        _assert_same(w, _results(prev, q))
+    with _pytest.raises(FileNotFoundError, match="available"):
+        B.read_postings(spark, root, snapshot=0).count()
