@@ -185,6 +185,22 @@ def _clustered_embeddings(rng, n: int = 4000, dim: int = 64, n_clusters: int = 2
     return pts
 
 
+def _part_files(root_dir: str, part_key: str, probed: set[int]) -> tuple[int, int]:
+    """(files under probed partition dirs, total files) — the measured
+    partition-pruning fraction of a materialized ANN layout."""
+    tot = hit = 0
+    for dirpath, _dirs, files in os.walk(root_dir):
+        pq = [f for f in files if f.endswith(".parquet")]
+        if not pq:
+            continue
+        tot += len(pq)
+        base = os.path.basename(dirpath)
+        if base.startswith(part_key + "="):
+            if int(base.split("=", 1)[1]) in probed:
+                hit += len(pq)
+    return hit, tot
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = _sf_from_dir(sf_dir)
@@ -293,6 +309,8 @@ def main() -> None:
     emb_df.count()
     hits = 0
     n_queries = 15
+    exact_sets: list[set] = []
+    ann_sets: list[set] = []
     for qi in range(n_queries):
         qv = [float(x) for x in pts[qi * 37 % len(pts)]]
         exact_ids = {r["vec_id"] for r in
@@ -300,8 +318,51 @@ def main() -> None:
         ann_ids = {r["vec_id"] for r in
                    similarity.ann_topk(emb_df, qv, k=10, n_planes=12,
                                        probe_hamming=2).collect()}
+        exact_sets.append(exact_ids)
+        ann_sets.append(ann_ids)
         hits += len(exact_ids & ann_ids)
     ann_recall = hits / (10 * n_queries)
+
+    # materialized layouts (the 100 TB ANN path): the probe filter lands
+    # on the PARTITION column, so the scan reads only probed directories.
+    # Report the measured file fraction + recall so "the ~2% candidate
+    # fraction becomes a ~2% scan" is a number, not a claim.
+    broot = f"{tmp}/emb_bucketed"
+    similarity.write_bucketed_embeddings(emb_df, broot, n_planes=12, dim=64)
+    bmeta = similarity.read_bucketed_meta(broot)
+    bplanes = similarity.int_planes(
+        bmeta["dim"], max(bmeta["n_planes"], bmeta["band_planes"]))[:12]
+    bhits = 0
+    bfiles_hit = bfiles_tot = 0
+    for qi in range(n_queries):
+        qv = [float(x) for x in pts[qi * 37 % len(pts)]]
+        got = {r["vec_id"] for r in similarity.ann_topk_bucketed(
+            spark, broot, qv, k=10, probe_hamming=2).collect()}
+        assert got == ann_sets[qi], "bucketed ANN must equal inline ANN"
+        bhits += len(exact_sets[qi] & got)
+        probes = set(similarity.ann_probes(qv, bplanes, True, 2))
+        fh, ft = _part_files(f"{broot}/data", "bucket", probes)
+        bfiles_hit += fh
+        bfiles_tot += ft
+    ann_bucketed_recall = bhits / (10 * n_queries)
+    ann_bucketed_scan_frac = bfiles_hit / max(bfiles_tot, 1)
+
+    ivroot = f"{tmp}/emb_ivf"
+    similarity.write_ivf_embeddings(emb_df, ivroot, n_clusters=25, iters=3)
+    imeta = similarity.read_ivf_meta(ivroot)
+    ihits = 0
+    ifiles_hit = ifiles_tot = 0
+    for qi in range(n_queries):
+        qv = [float(x) for x in pts[qi * 37 % len(pts)]]
+        got = {r["vec_id"] for r in similarity.ivf_topk(
+            spark, ivroot, qv, k=10, n_probes=4).collect()}
+        ihits += len(exact_sets[qi] & got)
+        probes = set(similarity.ivf_probes(qv, imeta["centroids"], 4))
+        fh, ft = _part_files(f"{ivroot}/data", "cl", probes)
+        ifiles_hit += fh
+        ifiles_tot += ft
+    ivf_recall = ihits / (10 * n_queries)
+    ivf_scan_frac = ifiles_hit / max(ifiles_tot, 1)
     spark.stop()
 
     total = time.monotonic() - t_all
@@ -334,6 +395,10 @@ def main() -> None:
         "wand_zipf_blocks_scored": z_scored,
         "wand_zipf_pruned_frac": round(1 - z_scored / max(z_total, 1), 3),
         "ann_recall_at_10": round(ann_recall, 3),
+        "ann_bucketed_recall_at_10": round(ann_bucketed_recall, 3),
+        "ann_bucketed_scan_frac": round(ann_bucketed_scan_frac, 4),
+        "ivf_recall_at_10": round(ivf_recall, 3),
+        "ivf_scan_frac": round(ivf_scan_frac, 4),
     }
 
     _write_bench_md(result, b1_trials, b4_trials, b_hi, hi, sf)
@@ -465,6 +530,23 @@ scans ~1.9% of the corpus) vs exact cosine_topk on a clustered
 in tests/test_dedup_textops.py::test_ann_recall_floor; the recall/cost
 dial is (n_planes, probe_hamming): 8/1 -> 0.75 @ 3.5% scan,
 8/2 -> 0.96 @ 14.5%, 12/2 -> 0.91 @ 1.9%).
+
+## Materialized ANN layouts (the 100 TB scan path)
+
+Same queries over PERSISTED index layouts, where the probe filter lands
+on a partition column and prunes at the directory level (hit-parity with
+the inline operator asserted in-run):
+
+| layout | recall@10 | files scanned |
+|---|---|---|
+| hyperplane buckets (`write_bucketed_embeddings`, 12 planes, H<=2) | {r['ann_bucketed_recall_at_10']:.3f} | **{r['ann_bucketed_scan_frac']:.1%}** of the table |
+| IVF k-means cells (`write_ivf_embeddings`, 25 cells, n_probes=4) | {r['ivf_recall_at_10']:.3f} | **{r['ivf_scan_frac']:.1%}** of the table |
+
+The inline `ann_topk` evaluates bucket bits per row per query (full
+byte scan, ~2% of rows *re-ranked*); the materialized layouts turn the
+same candidate fraction into a file-level scan fraction — the role of
+the reference's persisted `.ix` tree segments
+(/root/reference/src/Sir.VectorSpace/ColumnReader.cs:37-69).
 """)
 
 
