@@ -224,6 +224,20 @@ def _q_fingerprint(spark, sf):
     )
 
 
+def _q_emb_knn_join(spark, sf):
+    """Exact k-NN JOIN (one corpus pass for a query batch) — top-5
+    neighbors for each of 3 query vectors; cosine rounded to 6 dp BEFORE
+    ranking in both engines (matmul vs SQL dot differ ~1e-13)."""
+    from resin_spark import similarity
+
+    emb = _emb(spark, sf)
+    qs = [(r["vec_id"], [float(x) for x in r["embedding"]])
+          for r in emb.filter(F.col("vec_id") < 3).orderBy("vec_id").collect()]
+    out = similarity.knn_join(emb, qs, k=5)
+    return out.select("q_id", "n_id", "cosine",
+                      F.col("rank").cast("long").alias("rank")).orderBy("q_id", "rank")
+
+
 def _q_emb_topk(spark, sf):
     from resin_spark import similarity
 
@@ -669,6 +683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": _q_langid,
         "text_fingerprint": _q_fingerprint,
         "emb_cosine_topk": _q_emb_topk,
+        "emb_knn_join": _q_emb_knn_join,
         "ft_engine_topk": _q_engine_topk,
         "ft_engine_and": _q_engine_and,
         "ft_engine_not": _q_engine_not,
@@ -1322,6 +1337,25 @@ FROM reach GROUP BY a ORDER BY doc_id
         "emb_ann_bucketed": _ann_sql(dim=64, n_planes=6, k=10),
         "dedup_emb_neardup": _neardup_sql(dim=64, n_planes=16, bands=4,
                                           threshold=0.4, max_bucket=2000),
+        "emb_knn_join": """
+WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+c AS (
+  SELECT q.q_id, e.vec_id AS n_id,
+         round(
+           list_aggregate(list_transform(list_zip(e.embedding, q.qv),
+                          z -> z[1]::DOUBLE * z[2]::DOUBLE), 'sum')
+           / (sqrt(list_aggregate(list_transform(e.embedding,
+                          x -> x::DOUBLE * x::DOUBLE), 'sum'))
+              * sqrt(list_aggregate(list_transform(q.qv,
+                          x -> x::DOUBLE * x::DOUBLE), 'sum'))), 6) AS cosine
+  FROM embeddings e CROSS JOIN q
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY cosine DESC, n_id ASC) AS rank
+      FROM c)
+SELECT q_id, n_id, cosine, rank::BIGINT AS rank
+FROM r WHERE rank <= 5 ORDER BY q_id, rank
+""",
         "emb_cosine_topk": """
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
 c AS (

@@ -644,3 +644,95 @@ def cosine_neardup_pairs_bucketed(spark, root: str, threshold: float = 0.95,
     vdf = t.select(F.col(meta["key"]).alias("id"),
                    F.col(meta["vec"]).alias("v"), "nrm")
     return _neardup_core(bbk, vdf, depth, threshold, max_bucket)
+
+
+# ------------------------------------------------------------- kNN join
+def knn_join(corpus: DataFrame, queries: list[tuple], k: int = 10,
+             key: str = "vec_id", vec: str = "embedding",
+             round_dp: int = 6) -> DataFrame:
+    """Exact k-NN JOIN: for EVERY query vector, the top-k corpus rows by
+    cosine — the batch form of retrieval evaluation / hard-negative
+    mining (one pass over the corpus for all queries, instead of one
+    ``cosine_topk`` scan per query).
+
+    ``queries`` is a list of (query_id, vector) pairs — the broadcast
+    side, bounded by driver memory (size-gate upstream; at millions of
+    queries switch to the bucketed layouts and probe per shard).
+
+    Plan shape (the 100 TB story):
+      * one ``mapInPandas`` pass over corpus partitions: each Arrow batch
+        computes a normalized float64 matmul (batch_rows x dim) @
+        (dim x n_queries) and keeps a RUNNING top-k per query within the
+        partition — so the pass emits at most ``partitions * n_q * k``
+        rows, never ``corpus * n_q``;
+      * one ``row_number`` window over (query, cosine desc, id asc) picks
+        the global top-k — the only shuffle, on the (small) candidate set.
+
+    Cosine is rounded to ``round_dp`` decimals BEFORE ranking (both here
+    and in the DuckDB oracle) so the rank order is engine-independent:
+    float64 matmul and a sequential SQL dot product can disagree at
+    ~1e-13, which must not flip a rank.  Ties break by ascending
+    corpus id.  Role analog: the reference answers each query by a
+    cosine walk over its vector tree (PathFinder.cs:8-46); the join form
+    amortizes the corpus pass across the whole query batch.
+    """
+    import numpy as np
+    from pyspark.sql.window import Window
+
+    qids = [q[0] for q in queries]
+    qm = np.asarray([[float(x) for x in q[1]] for q in queries],
+                    dtype=np.float64)
+    qm = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-300)
+    nq = len(qids)
+
+    def part(batches):
+        import pandas as pd
+
+        ids_acc: list = []
+        cos_acc: list = []
+
+        def compact():
+            # bound the running candidate pool: union of per-query top-k
+            nonlocal ids_acc, cos_acc
+            ids = np.concatenate(ids_acc)
+            cs = np.vstack(cos_acc)
+            keep: set[int] = set()
+            for j in range(nq):
+                order = np.lexsort((ids, -cs[:, j]))[:k]
+                keep.update(order.tolist())
+            keep_idx = np.asarray(sorted(keep), dtype=np.int64)
+            ids_acc, cos_acc = [ids[keep_idx]], [cs[keep_idx]]
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.asarray(pdf["v"].tolist(), dtype=np.float64)
+            v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True),
+                               1e-300)
+            ids_acc.append(pdf["id"].to_numpy())
+            cos_acc.append(np.round(v @ qm.T, round_dp))  # (rows, nq)
+            if len(ids_acc) > 8:
+                compact()
+        if not ids_acc:
+            return
+        compact()
+        ids, cs = ids_acc[0], cos_acc[0]
+        out_q, out_id, out_cos = [], [], []
+        for j in range(nq):
+            order = np.lexsort((ids, -cs[:, j]))[:k]
+            out_q.extend([qids[j]] * len(order))
+            out_id.extend(ids[order].tolist())
+            out_cos.extend(cs[order, j].tolist())
+        yield pd.DataFrame({"q_id": out_q, "n_id": out_id,
+                            "cosine": out_cos})
+
+    src = corpus.select(F.col(key).alias("id"), F.col(vec).alias("v"))
+    qid_type = "string" if isinstance(qids[0], str) else "long"
+    cand = src.mapInPandas(
+        part, schema=f"q_id {qid_type}, n_id long, cosine double")
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", F.col("cosine"), "rank")
+    )

@@ -533,3 +533,41 @@ def test_ivf_layout_pruning_recall_and_determinism(spark, tmp_path, embeddings):
                  for d in os.listdir(os.path.join(root_a, "data"))
                  if d.startswith("cl=")}
     assert len(all_cells - probes) > 0
+
+
+def test_knn_join_matches_per_query_topk(spark):
+    """knn_join == one cosine_topk per query (rounded-rank contract),
+    including the in-partition compaction path (many small Arrow
+    batches through one partition)."""
+    import numpy as np
+
+    from resin_spark import similarity
+
+    rng = np.random.default_rng(7)
+    pts = rng.standard_normal((600, 8)).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(pts)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = [(int(i), [float(x) for x in pts[i]]) for i in (0, 5, 11)]
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "40")
+    try:
+        got = similarity.knn_join(emb.repartition(1), queries, k=7).collect()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert len(got) == 3 * 7
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["q_id"], []).append((r["rank"], r["n_id"], r["cosine"]))
+    for qid, qv in queries:
+        want = (
+            similarity.cosine_topk(emb, qv, k=30)
+            .select("vec_id", F.round("cosine", 6).alias("c6"))
+            .orderBy(F.desc("c6"), F.asc("vec_id")).limit(7).collect()
+        )
+        got_q = sorted(by_q[qid])
+        assert [g[1] for g in got_q] == [w["vec_id"] for w in want]
+        for g, w in zip(got_q, want):
+            assert abs(g[2] - w["c6"]) < 1e-9
