@@ -497,6 +497,29 @@ memory-bound control measures.  On a real cluster each executor owns its
 memory bandwidth; N->4N executor scaling is bounded by the shuffle
 fabric instead.
 
+## Scaling experiments — variant A/B (round 3, measured negative result)
+
+`scripts/scaling_experiments.py` (6M turns, 2 interleaved pinned trials
+per level per variant, one variant at a time):
+
+| variant | local[1] turns/s (trials) | local[4] turns/s (trials) | eff |
+|---|---|---|---|
+| baseline | 16,902 (11,498*, 22,307) | 55,865 (43,458, 68,272) | 0.826* |
+| termdict (int64 term ids through the shuffle) | 16,902 (16,951, 16,852) | 48,500 (38,789, 58,212) | 0.717 |
+| arrow64k (half-size Arrow batches) | 22,016 (21,981, 22,052) | 52,639 (56,459, 48,819) | 0.598 |
+| zstd shuffle (CPU-for-DRAM trade) | 20,574 (19,509, 21,640) | 60,121 (62,319, 57,922) | 0.731 |
+
+*the baseline's first local[1] trial overlapped other activity on this
+shared box; its clean trial (22.3k) implies eff ~0.63, in line with the
+other variants.  CONCLUSION: no variant robustly improves 1->4 scaling —
+trial-to-trial spread on this hypervisor-shared VM (±20-30% at equal
+config) exceeds every variant effect.  zstd_shuffle shows the best
+*minimum* local[4] throughput (57.9k) and is the most promising lever on
+a real cluster (it trades CPU, which scales, for DRAM bandwidth, which
+does not), but flipping the default on one-box evidence of this noise
+level is not justified.  The dictionary-encoded term shuffle stays
+available via RESIN_SPARK_TERM_DICT=1.
+
 ## BM25 top-10 query latency (warm session, local[{hi}])
 
 | query | sec |
