@@ -262,12 +262,18 @@ def main() -> None:
     engine.clear_cache()
     engine.search({"and": {"text": "the a"}}, k=10).collect()
     engine.clear_cache()
+    # median of 3 trials per query: single shots on this hypervisor-
+    # shared box swing 2-5x (one bench session measured q_not at 8.2 s
+    # and, 20 minutes later, 0.87 s warm at the same config)
     q_lat: dict[str, float] = {}
     for name, q in QUERIES.items():
-        t0 = time.monotonic()
-        engine.search(q, k=10).collect()
-        q_lat[name] = round(time.monotonic() - t0, 3)
-        engine.clear_cache()
+        ts = []
+        for _ in range(3):
+            t0 = time.monotonic()
+            engine.search(q, k=10).collect()
+            ts.append(time.monotonic() - t0)
+            engine.clear_cache()
+        q_lat[name] = round(statistics.median(ts), 3)
 
     # block-max WAND: exactness on the uniform corpus + PRUNING on the
     # Zipf/bursty corpus (block bounds must differ for pruning to bite)
