@@ -353,8 +353,10 @@ class SearchEngine:
             return None
         idx = {key: i for i, key in enumerate(keys)}
         df_by_key = [dfm.get(key, 0) for key in keys]
+        if self._DRIVER_SCORE_MAX_POSTINGS < 0:
+            return None  # driver scoring disabled (the test/strategy hook)
         if sum(df_by_key) > self._DRIVER_SCORE_MAX_POSTINGS:
-            return None
+            return self._driver_and_hits(q, keys, idx, df_by_key, k, skip)
         self.clear_cache()
         if not any(df_by_key):
             return []
@@ -414,6 +416,142 @@ class SearchEngine:
         if len(mvals) > self._MASK_MAX_CLASSES:
             return None
         observed = {int(m): int(c) for m, c in zip(mvals, mcounts)}
+        return self._score_mask_classes(q, observed, uids, mask_arr,
+                                        uid_k, tf_k, dl_k, idx, df_by_key,
+                                        k, skip)
+
+    # AND-driven block pruning (the 100 TB intersection path): for a
+    # pure-AND query whose RAREST matched term is driver-sized, the
+    # result set lives inside that term's conv blocks — so the bigger
+    # terms scan with a pushed-down ``block_id IN (...)`` predicate
+    # (block_id is a physical postings column, build.py) and only the
+    # intersecting blocks cross the wire.  At 10^12 turns an AND of a
+    # rare term against a stopword-class term stops being a full scan of
+    # the stopword's postings: bytes read ∝ the rare term's block
+    # footprint.  This is the posting-list skip-intersection of classic
+    # IR engines (and of WAND's block skips, wand.py) expressed as
+    # Parquet predicate pushdown.  Caps: seed term <= _AND_SEED_MAX
+    # postings, <= _AND_BLOCK_IN_MAX candidate blocks (IN-list size),
+    # and a post-collect bail if a pruned scan still returned more than
+    # _AND_COLLECT_MAX postings (correct either way — it just falls back
+    # to the distributed fold).
+    _AND_SEED_MAX_POSTINGS = 500_000
+    _AND_BLOCK_IN_MAX = 8192
+    _AND_COLLECT_MAX_POSTINGS = 4_000_000
+
+    def _pure_and(self, q: Query) -> bool:
+        if q.op != "and" or q.or_q is not None or q.not_q is not None:
+            return False
+        if any(t.op != "and" for t in q.terms):
+            return False
+        return q.and_q is None or self._pure_and(q.and_q)
+
+    def _collect_key_postings(self, key: tuple[str, str],
+                              blocks: "list[int] | None"):
+        """Collected + decoded (sorted-unique doc_ids, tf, dl) arrays of
+        one (field, term) key, optionally restricted to candidate blocks
+        (pushed predicate).  None when the collect exceeds the driver
+        cap (caller falls back to the distributed fold)."""
+        import numpy as np
+
+        from resin_spark.postings import decode_counts, decode_doc_ids
+
+        f, tok = key
+        pred = (F.col("field") == f) & (F.col("term") == tok)
+        if blocks is not None:
+            pred = pred & F.col("block_id").isin(blocks)
+        rows = (
+            self.postings().filter(pred)
+            .select("df_block", "doc_ids_bin", "tfs_bin", "dls_bin")
+            .collect()
+        )
+        if sum(r["df_block"] for r in rows) > self._AND_COLLECT_MAX_POSTINGS:
+            return None
+        if not rows:
+            e = np.empty(0, dtype=np.int64)
+            return e, e, e
+        ids = np.concatenate([decode_doc_ids(bytes(r["doc_ids_bin"])) for r in rows])
+        tfs = np.concatenate([decode_counts(bytes(r["tfs_bin"])) for r in rows])
+        dls = np.concatenate([decode_counts(bytes(r["dls_bin"])) for r in rows])
+        uid, inv = np.unique(ids, return_inverse=True)
+        tf = np.zeros(len(uid), dtype=np.int64)
+        np.add.at(tf, inv, tfs)
+        dl = np.zeros(len(uid), dtype=np.int64)
+        np.maximum.at(dl, inv, dls)
+        return uid, tf, dl
+
+    def _driver_and_hits(self, q: Query, keys: list, idx: dict,
+                         df_by_key: list, k: int,
+                         skip: int) -> "list[tuple[int, float]] | None":
+        """Driver-scored pure-AND with block-pruned scans: keys collect in
+        ascending-df order; after each, the intersection's block set
+        prunes the next key's scan.  Scores run through the SAME mask
+        fold + float64 op tree as every other strategy.  Output classes:
+        a NONEMPTY final intersection proves the fold never hit the
+        empty-accumulator re-insert quirk, so the full-mask class is the
+        only output class; an emptied intersection falls back to the
+        distributed fold (see inline note)."""
+        import numpy as np
+
+        from resin_spark import build as B
+
+        if not self._pure_and(q):
+            return None
+        present = [i for i, d in enumerate(df_by_key) if d > 0]
+        if not present:
+            return []
+        order = sorted(present, key=lambda i: (df_by_key[i], i))
+        if df_by_key[order[0]] > self._AND_SEED_MAX_POSTINGS:
+            return None
+        self.clear_cache()
+        arrs: dict[int, tuple] = {}
+        inter = None
+        blocks: list[int] | None = None
+        for pos, i in enumerate(order):
+            got = self._collect_key_postings(keys[i], blocks)
+            if got is None:
+                return None
+            arrs[i] = got
+            uid = got[0]
+            inter = uid if pos == 0 else inter[
+                np.isin(inter, uid, assume_unique=True)]
+            if not len(inter):
+                # Reducer quirk (Reducer.cs:24-39): a term merged into an
+                # EMPTY accumulator re-inserts all its postings, so an
+                # emptied intermediate intersection can restart the fold
+                # with docs this path never collected.  Conversely, a
+                # NONEMPTY final intersection proves every fold-order
+                # prefix was nonempty (prefixes contain the final set),
+                # i.e. no restart occurred and the full-mask class is the
+                # only output class.  Empty here -> distributed fold.
+                return None
+            if pos + 1 < len(order):
+                cand = np.unique(np.right_shift(inter, B.BLOCK_SHIFT))
+                if len(cand) > self._AND_BLOCK_IN_MAX:
+                    return None
+                blocks = [int(b) for b in cand]
+        full_mask = 0
+        for i in present:
+            full_mask |= 1 << i
+        empty64 = np.empty(0, dtype=np.int64)
+        uid_k = [arrs[i][0] if i in arrs else empty64 for i in range(len(keys))]
+        tf_k = [arrs[i][1] if i in arrs else empty64 for i in range(len(keys))]
+        dl_k = [arrs[i][2] if i in arrs else empty64 for i in range(len(keys))]
+        mask_arr = np.full(len(inter), full_mask, dtype=np.int64)
+        observed = {int(full_mask): int(len(inter))}
+        return self._score_mask_classes(q, observed, inter, mask_arr,
+                                        uid_k, tf_k, dl_k, idx, df_by_key,
+                                        k, skip)
+
+    def _score_mask_classes(self, q: Query, observed: dict, uids, mask_arr,
+                            uid_k, tf_k, dl_k, idx: dict, df_by_key: list,
+                            k: int, skip: int) -> list[tuple[int, float]] | None:
+        """Shared driver-side scoring: run the mask fold over the observed
+        classes, then per class the BM25 weight sum left-associatively in
+        S[mask] order over float64 vectors — the exact op tree of the
+        distributed mask fold, just elementwise over the class at once."""
+        import numpy as np
+
         state = self._mask_reduce(q, None, observed, df_by_key, idx,
                                   "surface")
         if state is None or not state[0]:
@@ -429,9 +567,6 @@ class SearchEngine:
             idf_of[i] = self.idf(st["n_docs"], df_by_key[i])
             avgdl_of[i] = st["avgdl"] if st["n_docs"] else 1.0
         one_minus_b = 1.0 - BB
-        # per mask class, the BM25 weight sum runs left-associatively in
-        # S[mask] order over float64 vectors — the exact op tree of the
-        # distributed mask fold, just elementwise over the class at once
         did_parts, score_parts = [], []
         for m in masks:
             if m not in observed:

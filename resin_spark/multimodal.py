@@ -300,3 +300,55 @@ def synthetic_media(spark, n: int = 32) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+def decode_video(content: bytes, fake: bool = False) -> np.ndarray:
+    """Decode video to an (n_frames, H, W, 3) array.  No AV library
+    ships in this container, so the real branch always raises; the
+    deterministic fake (seeded from the byte content, frame count from
+    the length) exercises the real Spark plumbing — schema, batch shape,
+    per-frame fan-out.  Swap in PyAV/ffmpeg on a real cluster."""
+    if not fake:
+        raise NotImplementedError(
+            "video decode requires an AV library (PyAV/ffmpeg) — not "
+            "available in this container; use fake=True for the "
+            "deterministic test double")
+    rng = np.random.default_rng(zlib.crc32(content))
+    n_frames = 8 + len(content) % 8
+    return rng.integers(0, 256, size=(n_frames, 8, 8, 3), dtype=np.uint8)
+
+
+FRAME_SCHEMA = ("media_id string, frame_idx int, n_frames int, "
+                "features array<double>")
+
+
+def sample_frames(df: DataFrame, every_n: int = 4,
+                  fake: bool = True) -> DataFrame:
+    """Frame sampling: video binary column -> one output row per SAMPLED
+    frame (every ``every_n``-th, always including frame 0) with per-frame
+    features — the fan-out stage of a video training pipeline.
+
+    mapInPandas so a batch of videos decodes inside one Arrow window and
+    the fan-out (rows out > rows in) never materializes a whole
+    partition of frames: each input batch yields one output frame of at
+    most ``ceil(frames/every_n)`` rows per video.  Non-video rows are
+    dropped (filter upstream to keep the scan narrow)."""
+
+    def proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, totals, feats = [], [], [], []
+            for mid, modality, content in zip(
+                    pdf["media_id"], pdf["modality"], pdf["content"]):
+                if modality != "video":
+                    continue
+                frames = decode_video(bytes(content), fake=fake)
+                n = frames.shape[0]
+                for j in range(0, n, every_n):
+                    ids.append(mid)
+                    idxs.append(j)
+                    totals.append(n)
+                    feats.append(_extract_features(frames[j]))
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs,
+                                "n_frames": totals, "features": feats})
+
+    return df.mapInPandas(proc, schema=FRAME_SCHEMA)

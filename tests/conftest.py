@@ -62,14 +62,18 @@ def engine(spark, index_root):
     return SearchEngine(spark, index_root)
 
 
-@pytest.fixture(params=["driver", "distributed"])
+@pytest.fixture(params=["driver", "distributed", "and_pruned"])
 def engine_s(request, engine):
-    """The same engine under both physical strategies: 'driver' (the
-    size-gated driver-scored fast path — the default at fixture scale)
-    and 'distributed' (fast path disabled, the mask/join folds as before).
-    Rank-identity suites run under both so neither loses oracle coverage."""
-    if request.param == "distributed":
-        engine._DRIVER_SCORE_MAX_POSTINGS = -1
+    """The same engine under all physical strategies: 'driver' (the
+    size-gated driver-scored fast path — the default at fixture scale),
+    'distributed' (driver scoring disabled, the mask/join folds as
+    before), and 'and_pruned' (Σdf cap 0, so every pure-AND query runs
+    the block-pruned intersection path and everything else falls back to
+    the distributed fold).  Rank-identity suites run under all three so
+    no strategy loses oracle coverage."""
+    cap = {"distributed": -1, "and_pruned": 0}.get(request.param)
+    if cap is not None:
+        engine._DRIVER_SCORE_MAX_POSTINGS = cap
         try:
             yield engine
         finally:

@@ -176,3 +176,38 @@ def test_unknown_modality_passthrough(spark):
     )
     rows = mm.media_features(df, fake=True).collect()
     assert rows[0]["features"] == []
+
+
+def test_sample_frames_fanout(spark):
+    """Frame sampling fans one video row out to ceil(n_frames/every_n)
+    frame rows, deterministically (fake decoder seeded from content)."""
+    from resin_spark.multimodal import (decode_video, sample_frames,
+                                        synthetic_media)
+
+    media = synthetic_media(spark, n=12)
+    out = sample_frames(media, every_n=4).collect()
+    vids = [(r["media_id"], bytes(r["content"]))
+            for r in media.filter("modality = 'video'").collect()]
+    assert len(vids) == 4
+    want_rows = 0
+    by_id = {}
+    for mid, content in vids:
+        n = decode_video(content, fake=True).shape[0]
+        want_rows += len(range(0, n, 4))
+        by_id[mid] = n
+    assert len(out) == want_rows
+    for r in out:
+        assert r["n_frames"] == by_id[r["media_id"]]
+        assert r["frame_idx"] % 4 == 0
+        assert len(r["features"]) == 8
+    # deterministic across runs
+    again = sample_frames(synthetic_media(spark, n=12), every_n=4).collect()
+    key = lambda r: (r["media_id"], r["frame_idx"])
+    assert sorted(map(key, again)) == sorted(map(key, out))
+    a0 = {key(r): r["features"] for r in again}
+    for r in out:
+        assert a0[key(r)] == r["features"]
+    # real branch refuses without fake
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        decode_video(b"notavideo", fake=False)

@@ -150,3 +150,55 @@ def test_driver_fast_path_gates_closed(engine, monkeypatch):
     monkeypatch.setattr(engine, "_DRIVER_SCORE_MAX_POSTINGS", -1)
     engine.search({"or": {"text": "banana"}}, k=5).collect()
     assert calls, "gate closed but distributed path not used"
+
+
+def test_and_block_pruned_path(engine, oracle, monkeypatch):
+    """Pure-AND over the Σdf cap: the block-pruned driver path answers
+    (distributed fold must not run), later keys collect with a block
+    restriction, and results match the oracle."""
+    q = {"and": {"text": "apple banana"}}
+    want = oracle_search(oracle, q, k=10)
+    assert want, "fixture must have a nonempty AND result"
+
+    seen_blocks = []
+    orig = engine._collect_key_postings
+
+    def spy(key, blocks):
+        seen_blocks.append(blocks)
+        return orig(key, blocks)
+
+    def boom(*a, **kw):
+        raise AssertionError("distributed fold ran for the AND path")
+
+    monkeypatch.setattr(engine, "_collect_key_postings", spy)
+    monkeypatch.setattr(engine, "_ranked", boom)
+    monkeypatch.setattr(engine, "_DRIVER_SCORE_MAX_POSTINGS", 0)
+    got = engine.topk(q, k=10)
+    _assert_rank_identical(got, want, "and_block_pruned")
+    assert seen_blocks[0] is None  # seed key scans unrestricted
+    assert len(seen_blocks) >= 2 and seen_blocks[1] is not None
+    assert all(isinstance(b, int) for b in seen_blocks[1])
+
+
+def test_and_block_pruned_empty_intersection_falls_back(engine, oracle,
+                                                        monkeypatch):
+    """An emptied intermediate intersection may restart Resin's fold with
+    re-inserted postings — the pruned path must fall back to the
+    distributed fold there (and still match the oracle, which exercises
+    the re-insert quirk on this query)."""
+    q = {"and": {"text": "apples qqnada tool index"}}
+    want = oracle_search(oracle, q, k=10)
+    assert want, "quirk query must be nonempty via the re-insert rule"
+
+    calls = []
+    orig = engine._ranked
+
+    def spy(qq, ti):
+        calls.append(1)
+        return orig(qq, ti)
+
+    monkeypatch.setattr(engine, "_ranked", spy)
+    monkeypatch.setattr(engine, "_DRIVER_SCORE_MAX_POSTINGS", 0)
+    got = engine.topk(q, k=10)
+    _assert_rank_identical(got, want, "and_quirk_fallback")
+    assert calls, "expected the distributed fold after the empty intersection"
