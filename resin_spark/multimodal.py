@@ -318,7 +318,7 @@ def decode_video(content: bytes, fake: bool = False) -> np.ndarray:
     return rng.integers(0, 256, size=(n_frames, 8, 8, 3), dtype=np.uint8)
 
 
-FRAME_SCHEMA = ("media_id string, frame_idx int, n_frames int, "
+FRAME_SCHEMA = ("media_id long, frame_idx int, n_frames int, "
                 "features array<double>")
 
 
@@ -348,7 +348,13 @@ def sample_frames(df: DataFrame, every_n: int = 4,
                     idxs.append(j)
                     totals.append(n)
                     feats.append(_extract_features(frames[j]))
-            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs,
-                                "n_frames": totals, "features": feats})
+            yield pd.DataFrame({
+                "media_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "n_frames": pd.Series(totals, dtype="int32"),
+                # object dtype so an all-empty batch still carries a
+                # list column Arrow can convert (not a float64 ndarray)
+                "features": pd.Series(feats, dtype="object"),
+            })
 
     return df.mapInPandas(proc, schema=FRAME_SCHEMA)
