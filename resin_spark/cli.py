@@ -60,7 +60,7 @@ def cmd_search(args) -> int:
     from resin_spark.executor import SearchEngine
 
     spark = _session(args)
-    eng = SearchEngine(spark, args.root)
+    eng = SearchEngine(spark, args.root, snapshot=args.snapshot)
     if args.model == "resin":
         # Resin's native char-bag cosine ranking (fuzzy/anagram matching)
         from resin_spark.resin_score import resin_topk
@@ -164,6 +164,9 @@ def main(argv: list[str] | None = None) -> int:
                         "plain text when --model resin")
     s.add_argument("--k", type=int, default=10)
     s.add_argument("--skip", type=int, default=0)
+    s.add_argument("--snapshot", type=int, default=None,
+                   help="pin reads to a previous compaction snapshot "
+                        "(time travel; see build.list_snapshots)")
     s.add_argument("--model", choices=["bm25", "resin"], default="bm25",
                    help="bm25 (north rule) or resin char-bag cosine")
     s.add_argument("--out", default=None,
