@@ -300,6 +300,19 @@ def main() -> None:
         z_scored += zs["blocks_scored"]
         z_total += zs["blocks_total"]
 
+    # AND block-pruned driver path on the same corpus: the burst-only
+    # rare term seeds, the broad term's scan is block_id-IN-restricted —
+    # report the measured postings pruned off the broad term's collect
+    zq_and = {"and": {"text": "wandhot wandrare"}}
+    zeng = SearchEngine(spark, zroot, fields=("text",))
+    z_want = zeng.topk(zq_and, k=10)
+    zp = SearchEngine(spark, zroot, fields=("text",))
+    zp._DRIVER_SCORE_MAX_POSTINGS = 0
+    assert zp.topk(zq_and, k=10) == z_want, "AND pruned path must be exact"
+    _hot = zp.last_and_stats[("text", "wandhot")]
+    _hot_df = zp._term_df_driver_map()[("text", "wandhot")]
+    and_pruned_frac = 1.0 - _hot["postings_collected"] / _hot_df
+
     # ANN recall@10 on clustered embeddings (ann_topk must agree with the
     # exact scorer on most of the true neighborhood)
     import numpy as np
@@ -400,6 +413,7 @@ def main() -> None:
         "wand_zipf_blocks_total": z_total,
         "wand_zipf_blocks_scored": z_scored,
         "wand_zipf_pruned_frac": round(1 - z_scored / max(z_total, 1), 3),
+        "and_block_pruned_frac": round(and_pruned_frac, 3),
         "ann_recall_at_10": round(ann_recall, 3),
         "ann_bucketed_recall_at_10": round(ann_bucketed_recall, 3),
         "ann_bucketed_scan_frac": round(ann_bucketed_scan_frac, 4),

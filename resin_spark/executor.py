@@ -67,6 +67,7 @@ class SearchEngine:
         self._term_df_driver: dict | None = None
         self._term_df_checked = False
         self._docs_size: int | None = None
+        self.last_and_stats: dict = {}
 
     # ------------------------------------------------------------ stores
     def documents(self) -> DataFrame:
@@ -465,7 +466,12 @@ class SearchEngine:
             .select("df_block", "doc_ids_bin", "tfs_bin", "dls_bin")
             .collect()
         )
-        if sum(r["df_block"] for r in rows) > self._AND_COLLECT_MAX_POSTINGS:
+        n_postings = sum(r["df_block"] for r in rows)
+        self.last_and_stats[key] = {
+            "blocks_filter": None if blocks is None else len(blocks),
+            "postings_collected": int(n_postings),
+        }
+        if n_postings > self._AND_COLLECT_MAX_POSTINGS:
             return None
         if not rows:
             e = np.empty(0, dtype=np.int64)
@@ -504,6 +510,11 @@ class SearchEngine:
         if df_by_key[order[0]] > self._AND_SEED_MAX_POSTINGS:
             return None
         self.clear_cache()
+        # pruning observability: per-key {blocks_filter, postings_collected}
+        # vs the mirror df — read after a query to see what the block
+        # restriction saved (the skip-intersection analog of
+        # neardup_bucket_stats)
+        self.last_and_stats = {}
         arrs: dict[int, tuple] = {}
         inter = None
         blocks: list[int] | None = None

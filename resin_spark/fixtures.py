@@ -166,6 +166,8 @@ def transcripts_df_distributed(spark, n_convs: int, max_turns: int = 12,
 
 WAND_TOKEN = "wandhot"
 WAND_TOKEN2 = "wandwarm"  # co-bursts with WAND_TOKEN (multi-term pruning)
+WAND_TOKEN3 = "wandrare"  # ONLY in burst docs -> block-localized rare term
+#                           (seeds the AND block-pruned driver path)
 
 
 def transcripts_df_zipf(spark, n_convs: int, max_turns: int = 3,
@@ -239,6 +241,7 @@ def transcripts_df_zipf(spark, n_convs: int, max_turns: int = 3,
     burst_suffix = F.concat(
         F.repeat(F.lit(" " + WAND_TOKEN), burst_rep),
         F.repeat(F.lit(" " + WAND_TOKEN2), max(1, burst_rep // 2)),
+        F.lit(" " + WAND_TOKEN3),
     )
     text = (
         F.when(is_burst, F.concat(text, burst_suffix))

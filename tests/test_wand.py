@@ -60,6 +60,27 @@ def test_wand_prunes_on_zipf_corpus(spark, tmp_path):
         assert stats["blocks_scored"] < 0.5 * stats["blocks_total"], (
             tokens, mode, stats)
 
+    # the AND block-pruned driver path on the same corpus: the burst-only
+    # rare term (wandrare) seeds, so the broad term (wandhot) collects
+    # only the burst-range blocks — measurably fewer postings than its
+    # df — with hits identical to the unpruned engine
+    from resin_spark.executor import SearchEngine
+
+    q = {"and": {"text": "wandhot wandrare"}}
+    base = SearchEngine(spark, root, fields=("text",))
+    want_hits = base.topk(q, k=10)
+    pruned = SearchEngine(spark, root, fields=("text",))
+    pruned._DRIVER_SCORE_MAX_POSTINGS = 0
+    got_hits = pruned.topk(q, k=10)
+    assert got_hits == want_hits
+    st = pruned.last_and_stats
+    dfm = pruned._term_df_driver_map()
+    hot_df = dfm[("text", "wandhot")]
+    hot = st[("text", "wandhot")]
+    assert hot["blocks_filter"] is not None  # scan was block-restricted
+    assert hot["postings_collected"] < 0.7 * hot_df, (st, hot_df)
+    assert st[("text", "wandrare")]["blocks_filter"] is None  # seed
+
 
 def test_wand_disjunction_matches_python(spark, engine, oracle):
     """Full-disjunction semantics vs a brute-force python computation."""
