@@ -357,6 +357,17 @@ def _q_engine_multifield(spark, sf):
     )
 
 
+def _q_engine_phrase(spark, sf):
+    """Exact-phrase retrieval through the engine: the AND ranking of the
+    phrase's terms restricted to docs whose tokenizer-normalized text
+    contains the adjacent phrase (verify-after-intersection plan;
+    beyond-reference — Resin scores phrases as term bags)."""
+    eng = _engine(spark, sf)
+    return _engine_result(
+        eng.phrase_search("spark table", k=0, select=["conv_id", "turn_idx"])
+    )
+
+
 def _q_wand_topk(spark, sf):
     """Block-max WAND (pruned) disjunction — must equal the exhaustive
     BM25 OR-sum oracle exactly."""
@@ -691,6 +702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_engine_paged": _q_engine_paged,
         "ft_engine_multifield": _q_engine_multifield,
         "ft_wand_topk": _q_wand_topk,
+        "ft_engine_phrase": _q_engine_phrase,
         "ft_resin_cosine": _q_resin_cosine,
         "ft_bm25_charbag": _q_bm25_charbag,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
@@ -1241,6 +1253,17 @@ FROM documents ORDER BY doc_id LIMIT 50
 """,
         "ft_engine_topk": _bm25_topk_sql("spark"),
         "ft_engine_and": _bm25_and_sql("spark", "query"),
+        "ft_engine_phrase": SQL_PRELUDE + f"""
+, phrase_docs AS (
+  SELECT doc_id FROM documents
+  WHERE strpos(' ' || array_to_string({TOKS}, ' ') || ' ',
+               ' spark table ') > 0
+)
+SELECT a.doc_id, round(a.score + b.score, 6) AS score
+FROM scores a JOIN scores b USING (doc_id) JOIN phrase_docs USING (doc_id)
+WHERE a.term = 'spark' AND b.term = 'table'
+ORDER BY round(a.score + b.score, 6) DESC, a.doc_id ASC LIMIT 10
+""",
         "ft_engine_not": _bm25_not_sql("spark", "window"),
         "ft_engine_stats": SQL_PRELUDE + "SELECT n_docs, total_tokens, avgdl FROM st",
         "ft_engine_paged": (

@@ -69,6 +69,10 @@ def cmd_search(args) -> int:
         out = (resin_topk(eng, args.q, k=args.k)
                .join(docs, "doc_id")
                .orderBy("score", ascending=False))
+    elif args.phrase:
+        # exact-phrase retrieval: --q is the raw phrase string, not JSON
+        out = eng.phrase_search(args.q, field=args.field, k=args.k,
+                                skip=args.skip)
     else:
         out = eng.search(json.loads(args.q), k=args.k, skip=args.skip)
     if args.out:
@@ -167,6 +171,11 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--snapshot", type=int, default=None,
                    help="pin reads to a previous compaction snapshot "
                         "(time travel; see build.list_snapshots)")
+    s.add_argument("--phrase", action="store_true",
+                   help="treat --q as a raw exact-phrase string (adjacent "
+                        "tokens in order) instead of a JSON query")
+    s.add_argument("--field", default="text",
+                   help="field searched by --phrase (default: text)")
     s.add_argument("--model", choices=["bm25", "resin"], default="bm25",
                    help="bm25 (north rule) or resin char-bag cosine")
     s.add_argument("--out", default=None,

@@ -303,6 +303,84 @@ class SearchEngine:
                            term_identity=term_identity).collect()
         return [((r["conv_id"], r["turn_idx"]), r["score"]) for r in rows]
 
+    # phrase verify: candidate sets up to this size fetch their text via
+    # the pushed doc_id IN point scan; bigger sets verify through a
+    # broadcast join against the docs table (one full scan, still only
+    # one job — an IN-list of 100k literals would bloat the plan instead)
+    _PHRASE_POINT_MAX_CANDIDATES = 4096
+
+    def phrase_search(self, phrase: str, field: str = "text", k: int = 10,
+                      skip: int = 0,
+                      select: list[str] | None = None) -> DataFrame:
+        """Exact-phrase ranked retrieval (beyond-reference: Resin's
+        "phrase queries" — /root/reference/README.md:34 — score a phrase
+        as a BAG of terms; SearchSession keeps no positional data, so
+        adjacency is never enforced).  Here a doc matches only if the
+        phrase's tokens appear consecutively, in order, in the field's
+        token stream; matched docs rank by the engine's standard AND
+        score (BM25 sum over the phrase's distinct terms), so results
+        are search()'s AND ranking restricted to true phrase matches.
+
+        Physical plan (the 100 TB shape): candidates come from the
+        boolean AND of the phrase's terms through the standard physical
+        strategies (driver-scored, block-pruned intersection, or the
+        distributed mask fold) — a doc can only contain the phrase if it
+        contains every term — then adjacency is verified ONLY on
+        candidate rows: the tokenizer-normalized text (same token stream
+        as the index, JVM-side) must contain the space-joined phrase.
+        Small candidate sets read their text via the pushed
+        ``doc_id IN (...)`` point scan; verify cost ∝ candidates, never
+        corpus size.  This is the classic verify-after-intersection
+        phrase plan of positionless indexes.
+        """
+        from resin_spark.tokenizer import TOKEN_SEP_JAVA, tokenize_py
+
+        toks = tokenize_py(phrase)
+        docs = self.documents()
+        if not toks:
+            empty = self.spark.range(0).select(
+                F.col("id").alias("doc_id"), F.lit(0.0).alias("score"))
+            return self._project_ranked(
+                docs.join(F.broadcast(empty), "doc_id"), docs, select)
+        q = parse_query({"and": {field: phrase}})
+        if len(toks) == 1:
+            # single-token phrase == single-term query
+            return self.search(q, k=k, skip=skip, select=select)
+        # tokenizer-normalized field: exactly the token stream the index
+        # saw, space-joined and space-delimited so containment can't
+        # match across token boundaries
+        norm = F.concat(
+            F.lit(" "),
+            F.array_join(
+                F.filter(F.split(F.lower(F.col(field)), TOKEN_SEP_JAVA),
+                         lambda x: x != F.lit("")),
+                " "),
+            F.lit(" "),
+        )
+        adjacent = F.instr(norm, " " + " ".join(toks) + " ") > 0
+        hits = self._driver_hits(q, 0, 0)
+        if hits is not None:
+            if not hits:
+                lit = self.spark.createDataFrame([], "doc_id long, score double")
+            else:
+                lit = self.spark.createDataFrame(
+                    [(int(d), float(s)) for d, s in hits],
+                    "doc_id long, score double")
+            cand = docs
+            if hits and len(hits) <= self._PHRASE_POINT_MAX_CANDIDATES:
+                cand = docs.filter(
+                    F.col("doc_id").isin([int(d) for d, _ in hits]))
+            out = cand.join(F.broadcast(lit), "doc_id").filter(adjacent)
+        else:
+            ranked = self._ranked(q, "surface")
+            out = docs.join(ranked, "doc_id").filter(adjacent)
+        out = out.orderBy(F.desc("score"), F.asc("doc_id"))
+        if skip:
+            out = out.offset(skip)
+        if k:
+            out = out.limit(k)
+        return self._project_ranked(out, docs, select)
+
     # ------------------------------------------------------------ internals
     def _key_col(self, term_identity: str) -> str:
         return "term" if term_identity == "surface" else "chars_key"
