@@ -357,6 +357,83 @@ def _q_engine_multifield(spark, sf):
     )
 
 
+def _q_pii_redact(spark, sf):
+    """PII scrub pass: deterministic emails/IPs/phones are planted into
+    every doc (mirrored verbatim in the SQL oracle), then counted and
+    redacted; the md5 of the redacted text pins the rewrite itself."""
+    from resin_spark import textops
+
+    d = _docs(spark, sf).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"), F.col("doc_id"), F.lit("@ex.org ip 10.0."),
+            F.pmod(F.col("doc_id"), F.lit(256)), F.lit(".7 tel 555-010-"),
+            F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)), 4, "0"),
+        ).alias("text"),
+    )
+    return (
+        textops.pii_counts(d)
+        .select("doc_id", "n_email", "n_ip", "n_phone",
+                F.md5(textops.pii_redact_col("text")).alias("red_fp"))
+        .orderBy("doc_id")
+    )
+
+
+def _q_url_dedup(spark, sf):
+    """Canonical-URL dedup: raw URLs differ per doc (scheme case, www,
+    default port, utm param, fragment) but normalize into groups of 5 —
+    url_dedup_groups must find exactly those groups."""
+    from resin_spark import textops
+
+    d = _docs(spark, sf).select(
+        "doc_id",
+        F.concat(
+            F.when(F.pmod("doc_id", F.lit(2)) == 0, F.lit("HTTP://WWW."))
+            .otherwise(F.lit("http://www.")),
+            F.col("source"), F.lit(".Example.COM:80/p/"),
+            F.pmod("doc_id", F.lit(25)),
+            F.lit("/?utm_source=u"), F.col("doc_id"),
+            F.lit("&q=1#frag"), F.col("doc_id"),
+        ).alias("url"),
+    )
+    return textops.url_dedup_groups(d, "url").orderBy("norm_url")
+
+
+def _q_chunk_dedup(spark, sf):
+    """Exact-substring (token-chunk) dedup stats: every doc is prefixed
+    with 10 copies of a class-shared token (doc_id % 7), so first chunks
+    collide corpus-wide while the tail chunks stay unique."""
+    from resin_spark import dedup
+
+    d = _docs(spark, sf).select(
+        "doc_id",
+        F.concat(
+            F.expr("repeat(concat('shared', doc_id % 7, ' '), 10)"),
+            F.col("text"),
+        ).alias("text"),
+    )
+    return (
+        dedup.chunk_dedup_stats(d, window=10)
+        .orderBy("doc_id")
+        .select("doc_id", "n_chunks", "n_removed")
+    )
+
+
+def _q_decontam(spark, sf):
+    """Benchmark decontamination: docs 7 and 123 play the eval set; any
+    doc sharing a token 3-gram with either is flagged.  The small-bench
+    form (array_intersect, no join) runs here; the DataFrame/join form is
+    pytest-checked for parity."""
+    from resin_spark import dedup
+
+    docs = _docs(spark, sf)
+    bench = [r["text"] for r in
+             docs.filter(F.col("doc_id").isin(7, 123))
+             .orderBy("doc_id").collect()]
+    return dedup.decontaminate_flags(docs, bench, n=3).orderBy("doc_id")
+
+
 def _q_engine_phrase(spark, sf):
     """Exact-phrase retrieval through the engine: the AND ranking of the
     phrase's terms restricted to docs whose tokenizer-normalized text
@@ -703,6 +780,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_engine_multifield": _q_engine_multifield,
         "ft_wand_topk": _q_wand_topk,
         "ft_engine_phrase": _q_engine_phrase,
+        # training-data scrub ops (PII, URL canon, chunk dedup, decontam)
+        "text_pii_redact": _q_pii_redact,
+        "text_url_dedup": _q_url_dedup,
+        "dedup_chunks": _q_chunk_dedup,
+        "text_decontam": _q_decontam,
         "ft_resin_cosine": _q_resin_cosine,
         "ft_bm25_charbag": _q_bm25_charbag,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
@@ -1253,6 +1335,120 @@ FROM documents ORDER BY doc_id LIMIT 50
 """,
         "ft_engine_topk": _bm25_topk_sql("spark"),
         "ft_engine_and": _bm25_and_sql("spark", "query"),
+        "text_pii_redact": r"""
+WITH planted AS (
+  SELECT doc_id,
+         text || ' contact u' || doc_id || '@ex.org ip 10.0.'
+              || (doc_id % 256) || '.7 tel 555-010-'
+              || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS text
+  FROM documents
+),
+r1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+         regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             '[EMAIL]', 'g') AS text
+  FROM planted
+),
+r2 AS (
+  SELECT doc_id, n_email,
+         len(regexp_extract_all(text,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ip,
+         regexp_replace(text,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS text
+  FROM r1
+)
+SELECT doc_id, n_email, n_ip,
+       len(regexp_extract_all(text,
+           '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b'))::BIGINT AS n_phone,
+       md5(regexp_replace(text,
+           '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '[PHONE]', 'g')) AS red_fp
+FROM r2 ORDER BY doc_id
+""",
+        "text_url_dedup": r"""
+WITH urls AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://WWW.' ELSE 'http://www.' END)
+         || source || '.Example.COM:80/p/' || (doc_id % 25)
+         || '/?utm_source=u' || doc_id || '&q=1#frag' || doc_id AS url
+  FROM documents
+),
+norm AS (
+  SELECT doc_id,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://'
+    || regexp_replace(regexp_replace(
+         lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+         '^www\.', ''), ':(80|443)$', '')
+    || regexp_replace(
+         regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1),
+         '/$', '')
+    || CASE WHEN len(params) > 0
+            THEN '?' || array_to_string(params, '&') ELSE '' END AS norm_url
+  FROM (
+    SELECT doc_id, url,
+           list_sort(list_filter(str_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+             p -> p <> '' AND NOT regexp_matches(p,
+                  '^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref)='))) AS params
+    FROM urls
+  )
+)
+SELECT norm_url, count(*)::BIGINT AS n_dups, min(doc_id) AS keep_id
+FROM norm GROUP BY norm_url HAVING count(*) > 1 ORDER BY norm_url
+""",
+        "dedup_chunks": f"""
+WITH planted AS (
+  SELECT doc_id,
+         repeat('shared' || (doc_id % 7) || ' ', 10) || text AS text
+  FROM documents
+),
+tk AS (SELECT doc_id, {TOKS} AS toks FROM planted),
+ch AS (
+  SELECT doc_id, i AS chunk_idx,
+         md5(array_to_string(list_slice(toks, i * 10 + 1, i * 10 + 10), ' ')) AS fp
+  FROM tk, unnest(range((len(toks) + 9) // 10)) AS t(i)
+  WHERE len(toks) > 0
+),
+marked AS (
+  SELECT doc_id, chunk_idx,
+         count(*) OVER (PARTITION BY fp) AS n_occ,
+         row_number() OVER (PARTITION BY fp
+                            ORDER BY doc_id, chunk_idx) AS rn
+  FROM ch
+)
+SELECT d.doc_id,
+       coalesce(m.n_chunks, 0)::BIGINT AS n_chunks,
+       coalesce(m.n_removed, 0)::BIGINT AS n_removed
+FROM documents d LEFT JOIN (
+  SELECT doc_id, count(*)::BIGINT AS n_chunks,
+         sum(CASE WHEN n_occ > 1 AND rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_removed
+  FROM marked GROUP BY doc_id
+) m USING (doc_id)
+ORDER BY d.doc_id
+""",
+        "text_decontam": f"""
+WITH tk AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+doc_grams AS (
+  SELECT doc_id,
+         array_to_string(list_slice(toks, i + 1, i + 3), ' ') AS gram
+  FROM tk, unnest(range(len(toks) - 2)) AS t(i)
+  WHERE len(toks) >= 3
+),
+bench_grams AS (
+  SELECT DISTINCT gram FROM doc_grams WHERE doc_id IN (7, 123)
+),
+hits AS (
+  SELECT doc_id, count(DISTINCT gram)::BIGINT AS n_hits
+  FROM (SELECT DISTINCT doc_id, gram FROM doc_grams) g
+  JOIN bench_grams USING (gram)
+  GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+ORDER BY d.doc_id
+""",
         "ft_engine_phrase": SQL_PRELUDE + f"""
 , phrase_docs AS (
   SELECT doc_id FROM documents

@@ -441,3 +441,147 @@ def components_py(node_ids: list, pairs: list[tuple]) -> dict:
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
     return {n: find(n) for n in node_ids}
+
+
+def chunk_dedup_stats(df: DataFrame, key: str = "doc_id",
+                      text: str = "text", window: int = 20) -> DataFrame:
+    """Exact-substring dedup at fixed-width token-chunk granularity (the
+    distributed approximation of RefinedWeb/suffix-array exact-substring
+    removal): the token stream is cut into consecutive ``window``-token
+    chunks; a chunk whose fingerprint already appeared anywhere in the
+    corpus (first occurrence = smallest (key, chunk_idx)) is marked
+    removed.  Returns per-doc (key, n_chunks, n_removed).
+
+    Scale shape: one narrow pass builds (key, chunk_idx, md5) rows —
+    O(tokens/window) rows, each ~50 B — then ONE hash shuffle on the
+    fingerprint finds first owners (min(struct)) and a broadcast-or-hash
+    join marks the losers.  No pair explosion: duplicates of the same
+    chunk meet in one reduce group, never as pairs."""
+    toks = tokens_col(text)
+    n = F.size(toks)
+    n_chunks = F.ceil(n / F.lit(window)).cast("int")
+    chunks = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(
+                F.slice(toks, i * window + 1, window), " "),
+        ),
+    ).otherwise(F.expr("array()"))
+    ex = (
+        df.select(F.col(key), F.posexplode_outer(chunks)
+                  .alias("chunk_idx", "chunk"))
+        .select(key, "chunk_idx", F.md5(F.col("chunk")).alias("fp"))
+    )
+    first = (
+        ex.filter(F.col("fp").isNotNull())
+        .groupBy("fp")
+        .agg(F.min(F.struct(key, "chunk_idx")).alias("first"),
+             F.count(F.lit(1)).alias("n_occ"))
+    )
+    marked = ex.join(first, "fp", "left").select(
+        F.col(key),
+        F.col("chunk_idx"),
+        (
+            (F.col("n_occ") > 1)
+            & ~((F.col(f"first.{key}") == F.col(key))
+                & (F.col("first.chunk_idx") == F.col("chunk_idx")))
+        ).alias("removed"),
+    )
+    return (
+        marked.groupBy(key)
+        .agg(
+            F.sum(F.when(F.col("chunk_idx").isNotNull(), 1).otherwise(0))
+            .cast("long").alias("n_chunks"),
+            F.sum(F.when(F.col("removed"), 1).otherwise(0))
+            .cast("long").alias("n_removed"),
+        )
+    )
+
+
+def chunk_dedup_py(rows: list[tuple], window: int = 20) -> dict:
+    """Pure-python twin of chunk_dedup_stats: rows = [(key, text)];
+    returns {key: (n_chunks, n_removed)}."""
+    from resin_spark.tokenizer import tokenize_py
+
+    chunks: list[tuple] = []
+    for key, text in rows:
+        toks = tokenize_py(text or "")
+        for ci in range((len(toks) + window - 1) // window):
+            chunks.append((key, ci, " ".join(toks[ci * window:(ci + 1) * window])))
+    first: dict = {}
+    count: dict = {}
+    for key, ci, ch in sorted(chunks):
+        first.setdefault(ch, (key, ci))
+        count[ch] = count.get(ch, 0) + 1
+    out = {key: [0, 0] for key, _ in rows}
+    for key, ci, ch in chunks:
+        out[key][0] += 1
+        if count[ch] > 1 and first[ch] != (key, ci):
+            out[key][1] += 1
+    return {k: tuple(v) for k, v in out.items()}
+
+
+def ngrams_col(text, n: int = 5):
+    """Space-joined token n-grams of a text column (JVM transform/slice,
+    no Python)."""
+    toks = tokens_col(text)
+    sz = F.size(toks)
+    return F.when(
+        sz >= n,
+        F.transform(
+            F.sequence(F.lit(0), sz - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.expr("array()"))
+
+
+def decontaminate_flags(df: DataFrame, benchmark: "list[str] | DataFrame",
+                        n: int = 5, key: str = "doc_id",
+                        text: str = "text") -> DataFrame:
+    """Benchmark decontamination (the eval-leak scrub every training
+    pipeline runs before a data release): flag every document sharing at
+    least one token ``n``-gram with the benchmark set.  Returns
+    (key, n_hits, contaminated) where n_hits counts DISTINCT matched
+    n-grams.
+
+    Two physical forms by benchmark size:
+    * ``list[str]`` (the common case — eval sets are small): benchmark
+      n-grams become an array literal; matching is one array_intersect
+      per row — narrow, codegen, no shuffle, no join.
+    * ``DataFrame`` with a ``text`` column (benchmark too big to inline):
+      both sides explode to (gram) rows and meet in a broadcast-or-hash
+      join on the gram — the 100 TB form, one shuffle max.
+    """
+    from resin_spark.tokenizer import tokenize_py
+
+    grams = F.array_distinct(ngrams_col(text, n))
+    if isinstance(benchmark, DataFrame):
+        bench_grams = (
+            benchmark.select(F.explode(ngrams_col("text", n)).alias("gram"))
+            .distinct()
+        )
+        ex = df.select(F.col(key), F.explode_outer(grams).alias("gram"))
+        hits = (
+            ex.join(bench_grams, "gram", "left_semi")
+            .groupBy(key)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+        )
+        return (
+            df.select(key).join(hits, key, "left")
+            .select(
+                key,
+                F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+                (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+            )
+        )
+    bench: set[str] = set()
+    for s in benchmark:
+        toks = tokenize_py(s or "")
+        for i in range(len(toks) - n + 1):
+            bench.add(" ".join(toks[i:i + n]))
+    bench_arr = F.array(*[F.lit(g) for g in sorted(bench)])
+    n_hits = F.size(F.array_intersect(grams, bench_arr)).cast("long")
+    return df.select(
+        F.col(key), n_hits.alias("n_hits"), (n_hits > 0).alias("contaminated")
+    )

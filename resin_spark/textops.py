@@ -252,3 +252,128 @@ def rolling_fingerprints_col(text: Column | str, window: int = 4) -> Column:
             lambda acc, c: (acc * 1000003 + c) % F.lit(mod),
         ),
     )
+
+
+# ------------------------------------------------------------------ PII
+# Redaction patterns, chosen to parse identically under Java regex
+# (Spark, JVM-side) and RE2 (the DuckDB oracle): character classes,
+# bounded repetition and \b only — no lookarounds, no backreferences.
+# Order matters: emails first (an email's local part could otherwise be
+# half-eaten by the phone pattern), then IPs (dotted digits would match
+# inside no other pattern), then phones.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    ("phone", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "[PHONE]"),
+)
+
+
+def pii_counts(df: DataFrame, text: str = "text") -> DataFrame:
+    """Per-doc PII match counts (n_email / n_ip / n_phone), counted in
+    redaction order so overlapping classes are attributed the way
+    pii_redact_col rewrites them.  Pure JVM regexp (codegen), narrow."""
+    c = F.col(text)
+    out = df
+    for name, pat, token in PII_PATTERNS:
+        out = out.withColumn(f"n_{name}",
+                             F.regexp_count(c, F.lit(pat)).cast("long"))
+        c = F.regexp_replace(c, pat, token)
+    return out
+
+
+def pii_redact_col(text: Column | str) -> Column:
+    """Replace emails, IPv4 addresses and phone numbers with typed
+    placeholder tokens ([EMAIL]/[IP]/[PHONE]) — the standard scrub pass
+    of a training-data pipeline.  Chained JVM regexp_replace: one
+    projection, no shuffle, linear in input bytes."""
+    c = F.col(text) if isinstance(text, str) else text
+    for _name, pat, token in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, token)
+    return c
+
+
+def pii_redact_py(text: str) -> str:
+    """Pure-python twin of pii_redact_col (same patterns, same order)."""
+    import re
+
+    for _name, pat, token in PII_PATTERNS:
+        text = re.sub(pat, token, text)
+    return text
+
+
+# ------------------------------------------------------------------ URLs
+# Tracking query parameters dropped by url_normalize_col.
+TRACKING_PARAM_RE = r"^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref)="
+
+
+def url_normalize_col(url: Column | str) -> Column:
+    """Canonical URL form for dedup joins (the crawl-pipeline analog of
+    the reference's url splitting in its WAT source,
+    /root/reference/src/Sir.CommonCrawl/CCHelper.cs:68-152):
+
+    * scheme and host lowercased; leading ``www.`` and default ports
+      (``:80``/``:443``) stripped off the host
+    * fragment dropped
+    * query split on ``&``: tracking params (utm_*/fbclid/gclid/msclkid/
+      ref) dropped, the rest SORTED and rejoined (param order never
+      distinguishes documents)
+    * trailing ``/`` stripped
+
+    All array/regexp built-ins — codegen, no Python, no shuffle."""
+    c = F.col(url) if isinstance(url, str) else url
+    scheme = F.lower(F.regexp_extract(c, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.lower(
+        F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = F.regexp_replace(host, r":(80|443)$", "")
+    path = F.regexp_extract(
+        c, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    path = F.regexp_replace(path, r"/$", "")
+    query = F.regexp_extract(c, r"\?([^#]*)", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != F.lit(""))
+            & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    qnorm = F.when(F.size(params) > 0,
+                   F.concat(F.lit("?"), F.array_join(params, "&"))
+                   ).otherwise(F.lit(""))
+    # non-URL input (no scheme://host prefix) canonicalizes to ''
+    return F.when(host != F.lit(""),
+                  F.concat(scheme, F.lit("://"), host, path, qnorm)
+                  ).otherwise(F.lit(""))
+
+
+def url_normalize_py(url: str) -> str:
+    """Pure-python twin of url_normalize_col (same rule set)."""
+    import re
+
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)([^?#]*)", url)
+    if not m:
+        return ""
+    scheme = m.group(1).lower()
+    host = re.sub(r":(80|443)$", "", re.sub(r"^www\.", "", m.group(2).lower()))
+    path = re.sub(r"/$", "", m.group(3))
+    qm = re.search(r"\?([^#]*)", url)
+    params = sorted(
+        p for p in (qm.group(1).split("&") if qm else [])
+        if p and not re.match(TRACKING_PARAM_RE, p)
+    )
+    return f"{scheme}://{host}{path}" + ("?" + "&".join(params) if params else "")
+
+
+def url_dedup_groups(df: DataFrame, url: str = "url",
+                     key: str = "doc_id") -> DataFrame:
+    """Duplicate groups under the canonical URL: (norm_url, n_dups,
+    keep_id) for every normalized URL fetched more than once, keeping the
+    smallest key.  One hash shuffle on norm_url — the same scale shape as
+    exact_duplicates (dedup.py)."""
+    return (
+        df.select(F.col(key), url_normalize_col(url).alias("norm_url"))
+        .groupBy("norm_url")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dups"),
+             F.min(key).alias("keep_id"))
+        .filter(F.col("n_dups") > 1)
+    )

@@ -1,0 +1,133 @@
+"""Training-data scrub ops: PII redaction, URL canonicalization/dedup,
+token-chunk exact-substring dedup, benchmark decontamination.  Each op is
+twin-checked (pure-python) and plan-gated (no per-row Python, narrow ops
+stay shuffle-free)."""
+
+from resin_spark import dedup, textops
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+def _has_python_eval(plan: str) -> bool:
+    """True when a Python ROW path runs in the plan (UDF eval nodes) —
+    'applySchemaToPythonRDD' from createDataFrame test inputs is not one."""
+    return any(n in plan for n in (
+        "BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+        "FlatMapGroupsInPandas", "PythonMapInArrow"))
+
+
+PII_TEXTS = [
+    "mail Bob.smith+x@Mail.Example.org or a.b@c.io now",
+    "ip 10.0.0.1 and 192.168.255.254 but not 1234.5.6.7 ok",
+    "call 555-010-1234 or 555.010.9999 or 555 010 0000",
+    "no pii at all",
+    "edge a@b.co 1.2.3.4 999-888-7777 end",
+    "",
+]
+
+
+def test_pii_redact_twin_and_counts(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(PII_TEXTS)], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in textops.pii_counts(df).withColumn(
+        "red", textops.pii_redact_col("text")).collect()}
+    for i, t in enumerate(PII_TEXTS):
+        assert got[i]["red"] == textops.pii_redact_py(t), t
+    assert (got[0]["n_email"], got[0]["n_ip"], got[0]["n_phone"]) == (2, 0, 0)
+    assert got[1]["n_ip"] == 2  # 1234.5.6.7 must NOT match (word boundary)
+    assert got[2]["n_phone"] == 3
+    assert got[3]["red"] == "no pii at all"
+    assert "[EMAIL]" in got[4]["red"] and "[IP]" in got[4]["red"] \
+        and "[PHONE]" in got[4]["red"]
+
+
+URLS = [
+    "HTTP://WWW.Example.COM:80/a/b/?utm_source=x&b=2&a=1#frag",
+    "http://example.com/a/b?a=1&b=2",
+    "https://Example.com:443/a/b/?fbclid=zz&a=1&b=2",
+    "https://example.com:8443/x?ref=abc&z=9",
+    "http://www.site.org/",
+    "not a url at all",
+]
+
+
+def test_url_normalize_twin(spark):
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(URLS)], "doc_id long, url string")
+    got = {r["doc_id"]: r["n"] for r in df.select(
+        "doc_id", textops.url_normalize_col("url").alias("n")).collect()}
+    for i, u in enumerate(URLS):
+        assert got[i] == textops.url_normalize_py(u), u
+    # the three tracking-differing forms canonicalize together
+    assert got[0] == got[1] == "http://example.com/a/b?a=1&b=2"
+    assert got[3] == "https://example.com:8443/x?z=9"  # non-default port kept
+    assert got[5] == ""  # non-URL -> empty canonical form
+
+
+def test_url_dedup_groups(spark):
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(URLS)], "doc_id long, url string")
+    rows = textops.url_dedup_groups(df, "url").collect()
+    assert len(rows) == 1
+    assert rows[0]["norm_url"] == "http://example.com/a/b?a=1&b=2"
+    assert rows[0]["n_dups"] == 2 and rows[0]["keep_id"] == 0
+
+
+def test_scrub_ops_plan_narrow(spark):
+    """PII redact and URL normalize are single narrow projections:
+    no shuffle, no Python row path."""
+    df = spark.createDataFrame([(1, "x", "http://a.b/c")],
+                               "doc_id long, text string, url string")
+    p = _plan(df.select(textops.pii_redact_col("text"),
+                        textops.url_normalize_col("url")))
+    assert "Exchange" not in p and not _has_python_eval(p)
+
+
+def test_chunk_dedup_twin(spark):
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(45))),
+        (2, " ".join(f"w{i}" for i in range(20)) + " tail only here"),
+        (3, " ".join(f"w{i}" for i in range(20))),  # == doc1/doc2 chunk 0
+        (4, ""),
+        (5, "short doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_chunks"], r["n_removed"])
+           for r in dedup.chunk_dedup_stats(df, window=20).collect()}
+    want = dedup.chunk_dedup_py(rows, window=20)
+    assert got == want
+    assert got[1] == (3, 0)       # first owner keeps everything
+    assert got[2] == (2, 1)       # shared first chunk removed
+    assert got[3] == (1, 1)       # exactly one chunk, duplicated
+    assert got[4] == (0, 0)
+    assert got[5] == (1, 0)
+    p = _plan(dedup.chunk_dedup_stats(df, window=20))
+    assert not _has_python_eval(p) and "Cartesian" not in p
+
+
+def test_decontaminate_list_and_frame_forms_agree(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "zeta alpha beta gamma other words"),
+        (3, "nothing shared with anything here"),
+        (4, "al be ga"),  # shorter than n
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = ["alpha beta gamma delta", "unseen tokens entirely"]
+    a = {r["doc_id"]: (r["n_hits"], r["contaminated"])
+         for r in dedup.decontaminate_flags(df, bench, n=3).collect()}
+    bdf = spark.createDataFrame([(b,) for b in bench], "text string")
+    b = {r["doc_id"]: (r["n_hits"], r["contaminated"])
+         for r in dedup.decontaminate_flags(df, bdf, n=3).collect()}
+    assert a == b
+    assert a[1] == (2, True)   # 'alpha beta gamma', 'beta gamma delta'
+    assert a[2] == (1, True)   # 'alpha beta gamma'
+    assert a[3] == (0, False)
+    assert a[4] == (0, False) and a[5] == (0, False)
+    # small-bench form is join-free: one narrow projection
+    p = _plan(dedup.decontaminate_flags(df, bench, n=3))
+    assert "Join" not in p and not _has_python_eval(p)
