@@ -504,21 +504,25 @@ def _q_ngram_jaccard(spark, sf):
 
 def _q_ivf_topk(spark, sf):
     """ANN top-k over an IVF (k-means coarse quantizer) layout — the
-    second classic ANN family next to hyperplane LSH.  Training is
-    iterative (Lloyd), so this entry has NO one-shot SQL oracle (driver
-    records rows-only); exactness pins live in
-    tests/test_dedup_textops.py: deterministic centroids, full-probe ==
-    exact cosine ranking, partition-pruned probe scans, recall floor."""
+    second classic ANN family next to hyperplane LSH.  The entry probes
+    ALL cells (n_probes = n_clusters), so the whole IVF machinery —
+    Lloyd training, cell assignment, partitioned layout, probe routing,
+    exact cosine re-rank — must reproduce the exact-cosine ranking and
+    is therefore ORACLE-CHECKED end-to-end (any assignment/layout/probe
+    bug breaks it).  Pruned-probe behavior (the recall/scan trade) is
+    pinned separately: tests/test_dedup_textops.py (deterministic
+    centroids, partition-pruned scans, recall floor) and bench.py
+    (ivf_recall / ivf_scan_frac)."""
     import tempfile
 
     from resin_spark import similarity
 
     emb = _emb(spark, sf)
-    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    q = emb.filter(F.col("vec_id") == 1).select("embedding").collect()[0][0]
     root = tempfile.mkdtemp(prefix="resin_emb_ivf_")
     similarity.write_ivf_embeddings(emb, root, n_clusters=8, iters=3, dim=64)
     out = similarity.ivf_topk(spark, root, [float(x) for x in q],
-                              k=100, n_probes=3)
+                              k=100, n_probes=8)
     return (
         out.select("vec_id", F.round("cosine", 4).alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
@@ -1577,6 +1581,23 @@ FROM r WHERE rank <= 5 ORDER BY q_id, rank
 """,
         "emb_cosine_topk": """
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+c AS (
+  SELECT vec_id,
+         list_aggregate(list_transform(list_zip(embedding, (SELECT qv FROM q)),
+                        z -> z[1]::DOUBLE * z[2]::DOUBLE), 'sum')
+         / (sqrt(list_aggregate(list_transform(embedding,
+                        x -> x::DOUBLE * x::DOUBLE), 'sum'))
+            * sqrt((SELECT list_aggregate(list_transform(qv,
+                        x -> x::DOUBLE * x::DOUBLE), 'sum') FROM q))) AS cosine
+  FROM embeddings
+)
+SELECT vec_id, round(cosine, 4) AS cosine FROM c
+ORDER BY round(cosine, 4) DESC, vec_id ASC LIMIT 10
+""",
+        # full-probe IVF == exact cosine ranking (see _q_ivf_topk): the
+        # oracle is the exact scorer over query vec_id=1
+        "emb_ivf_topk": """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
 c AS (
   SELECT vec_id,
          list_aggregate(list_transform(list_zip(embedding, (SELECT qv FROM q)),

@@ -546,11 +546,15 @@ available via RESIN_SPARK_TERM_DICT=1.
 |---|---|
 {''.join(f"| {k} | {v:.3f} |" + chr(10) for k, v in r['queries'].items())}
 Avg: {r['query_latency_avg_sec']:.3f} s.  Reference claims "sub-second"
-phrase queries on a ~6M-doc corpus single-node (README.md:34); per-query
-Spark job overhead dominates at this scale.  Multi-term boolean queries
-run the mask-fold path: 2 data-bearing jobs per query (mask histogram +
-top-k; Spark's broadcast/metadata helper actions touch only k-row frames),
-one shuffle over matched postings (executor.py).
+phrase queries on a ~6M-doc corpus single-node (README.md:34).  These
+queries run the EMBEDDED driver-scored strategy (io_mode='auto', local
+root): posting blocks, the term-df mirror, and the top-k point fetch all
+read through pyarrow with the boolean fold + BM25 in numpy — ZERO Spark
+jobs on the warm path (asserted in tests/test_embedded_io.py), the
+re-expression of the reference's embedded read session.  Above the
+driver caps / on remote roots the distributed mask-fold path runs
+instead: 2 data-bearing jobs per query (mask histogram + top-k), one
+shuffle over matched postings (executor.py).
 
 ## Block-max WAND pruning
 

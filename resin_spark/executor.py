@@ -29,6 +29,7 @@ The per-query jobs (df lookup, emptiness probes) touch <= #terms rows.
 from __future__ import annotations
 
 import math
+import os
 from functools import reduce as _functools_reduce
 
 from pyspark.sql import DataFrame, SparkSession
@@ -47,11 +48,25 @@ class SearchEngine:
 
     def __init__(self, spark: SparkSession, root: str,
                  fields: tuple[str, ...] = B.DEFAULT_FIELDS,
-                 snapshot: int | None = None):
+                 snapshot: int | None = None, io_mode: str = "auto"):
         """``snapshot`` pins every artifact read to that pointer version
         (time travel / rollback reads over the Iceberg-style snapshot
         commit; see build.list_snapshots).  None = follow the newest
-        pointer, re-resolved per cached reader as today."""
+        pointer, re-resolved per cached reader as today.
+
+        ``io_mode='auto'`` enables EMBEDDED reads: when the index root is
+        driver-visible (local filesystem), the size-gated driver-scored
+        strategy reads posting blocks, the term-df mirror, and the top-k
+        point fetch through pyarrow directly — zero Spark jobs on the
+        warm query path.  This is the literal analog of the reference's
+        embedded read session (SessionFactory caches ColumnReaders over
+        local streams and ReadSession scores in-process,
+        /root/reference/src/Sir.Search/Session/SearchSession.cs:34-46) —
+        re-expressed as one more size-gated physical strategy: remote
+        roots (hdfs://, s3://) or ``io_mode='spark'`` route every read
+        through Spark exactly as before, and the distributed fold remains
+        the only path above the driver caps.  All strategies are
+        rank-identity-tested against each other and the oracle."""
         from resin_spark.session import ensure_package_shipped
 
         ensure_package_shipped(spark)
@@ -59,6 +74,7 @@ class SearchEngine:
         self.root = root
         self.fields = fields
         self.snapshot = snapshot
+        self.io_mode = io_mode
         self._stats: dict[str, dict] | None = None
         self._cached: list[DataFrame] = []
         self._docs_df: DataFrame | None = None
@@ -67,7 +83,72 @@ class SearchEngine:
         self._term_df_driver: dict | None = None
         self._term_df_checked = False
         self._docs_size: int | None = None
+        self._pa_cache: dict = {}
         self.last_and_stats: dict = {}
+
+    # ------------------------------------------------------- embedded IO
+    # term-df mirrors built by the embedded path group over the postings
+    # BLOCK rows driver-side; above this row count the Spark groupBy runs
+    # instead (the mirror itself stays gated by _TERM_DF_DRIVER_MAX_ROWS)
+    _PA_TERM_DIR_MAX_BLOCK_ROWS = 5_000_000
+
+    @staticmethod
+    def _local_path(p: str) -> str | None:
+        """Driver-visible directory for ``p`` (no-scheme or file: paths
+        only), else None — the embedded-IO eligibility check."""
+        q = p[7:] if p.startswith("file://") else (
+            p[5:] if p.startswith("file:") else p)
+        if "://" in q:
+            return None
+        return q if os.path.isdir(q) else None
+
+    def _pa_dataset(self, name: str):
+        """pyarrow dataset over a local artifact dir, resolved once per
+        engine at the pinned snapshot (same staleness semantics as the
+        cached Spark readers).  None when ineligible: remote root,
+        io_mode='spark', or pyarrow absent."""
+        if self.io_mode != "auto":
+            return None
+        if name not in self._pa_cache:
+            try:
+                import pyarrow.dataset as pads
+            except Exception:
+                self._pa_cache[name] = None
+            else:
+                p = {"postings": B.p_postings, "docs": B.p_docs}[name](
+                    self.root, self.snapshot)
+                lp = self._local_path(p)
+                self._pa_cache[name] = (
+                    pads.dataset(lp, format="parquet", partitioning="hive")
+                    if lp else None
+                )
+        return self._pa_cache[name]
+
+    def _pa_postings_rows(self, filt, cols: tuple) -> "list[dict] | None":
+        """Posting-block rows via the embedded dataset (row-group pruned
+        by parquet stats on the pushed filter), or None when embedded IO
+        is unavailable (caller runs the Spark collect)."""
+        ds = self._pa_dataset("postings")
+        if ds is None:
+            return None
+        tbl = ds.to_table(columns=list(cols), filter=filt)
+        if tbl.num_rows == 0:
+            return []
+        data = [tbl.column(c).to_pylist() for c in cols]
+        return [dict(zip(cols, vals)) for vals in zip(*data)]
+
+    def _pa_filter_terms(self, by_field: dict):
+        """pyarrow filter for the queried (field, term) keys, or None."""
+        if self._pa_dataset("postings") is None:
+            return None
+        import pyarrow.dataset as pads
+
+        expr = None
+        for f, toks in sorted(by_field.items()):
+            e = (pads.field("field") == f) & pads.field("term").isin(
+                sorted(toks))
+            expr = e if expr is None else (expr | e)
+        return expr
 
     # ------------------------------------------------------------ stores
     def documents(self) -> DataFrame:
@@ -118,6 +199,19 @@ class SearchEngine:
         when the vocabulary exceeds _TERM_DF_DRIVER_MAX_ROWS."""
         if not self._term_df_checked:
             self._term_df_checked = True
+            ds = self._pa_dataset("postings")
+            if ds is not None and (
+                    ds.count_rows() <= self._PA_TERM_DIR_MAX_BLOCK_ROWS):
+                # embedded mirror: group block rows driver-side (pandas);
+                # Σ df_block over blocks = df exactly as the Spark path
+                pdf = ds.to_table(
+                    columns=["field", "term", "df_block"]).to_pandas()
+                agg = pdf.groupby(["field", "term"])["df_block"].sum()
+                if len(agg) <= self._TERM_DF_DRIVER_MAX_ROWS:
+                    self._term_df_driver = {
+                        (f, t): int(v) for (f, t), v in agg.items()
+                    }
+                return self._term_df_driver
             rows = (
                 self.term_directory().select("field", "term", "df")
                 .limit(self._TERM_DF_DRIVER_MAX_ROWS + 1).collect()
@@ -285,14 +379,18 @@ class SearchEngine:
             out = docs.join(right, "doc_id")
         return self._project_ranked(out, docs, sel)
 
-    def _project_ranked(self, out: DataFrame, docs: DataFrame,
-                        sel: list[str] | None) -> DataFrame:
+    @staticmethod
+    def _ranked_cols(docs: DataFrame, sel: list[str] | None) -> list[str]:
         cols = ["conv_id", "turn_idx"]
         if sel:
             cols += [c for c in sel if c not in ("conv_id", "turn_idx")]
         else:
             cols += [c for c in ("role", "text", "tool", "ts") if c in docs.columns]
-        out = out.select(*cols, "score")
+        return cols
+
+    def _project_ranked(self, out: DataFrame, docs: DataFrame,
+                        sel: list[str] | None) -> DataFrame:
+        out = out.select(*self._ranked_cols(docs, sel), "score")
         return out.orderBy(F.desc("score"), F.asc("conv_id"), F.asc("turn_idx"))
 
     def topk(self, query: dict | Query, k: int = 10, skip: int = 0,
@@ -439,18 +537,18 @@ class SearchEngine:
         self.clear_cache()
         if not any(df_by_key):
             return []
-        pred = _functools_reduce(
-            lambda a, b: a | b,
-            [
-                (F.col("field") == f) & F.col("term").isin(sorted(toks))
-                for f, toks in by_field.items()
-            ],
-        )
-        rows = (
-            self.postings().filter(pred)
-            .select("field", "term", "doc_ids_bin", "tfs_bin", "dls_bin")
-            .collect()
-        )
+        cols = ("field", "term", "doc_ids_bin", "tfs_bin", "dls_bin")
+        pa_f = self._pa_filter_terms(by_field)
+        rows = self._pa_postings_rows(pa_f, cols) if pa_f is not None else None
+        if rows is None:
+            pred = _functools_reduce(
+                lambda a, b: a | b,
+                [
+                    (F.col("field") == f) & F.col("term").isin(sorted(toks))
+                    for f, toks in by_field.items()
+                ],
+            )
+            rows = self.postings().filter(pred).select(*cols).collect()
         import numpy as np
 
         from resin_spark.postings import decode_counts, decode_doc_ids
@@ -536,14 +634,20 @@ class SearchEngine:
         from resin_spark.postings import decode_counts, decode_doc_ids
 
         f, tok = key
-        pred = (F.col("field") == f) & (F.col("term") == tok)
-        if blocks is not None:
-            pred = pred & F.col("block_id").isin(blocks)
-        rows = (
-            self.postings().filter(pred)
-            .select("df_block", "doc_ids_bin", "tfs_bin", "dls_bin")
-            .collect()
-        )
+        cols = ("df_block", "doc_ids_bin", "tfs_bin", "dls_bin")
+        rows = None
+        if self._pa_dataset("postings") is not None:
+            import pyarrow.dataset as pads
+
+            pa_f = (pads.field("field") == f) & (pads.field("term") == tok)
+            if blocks is not None:
+                pa_f = pa_f & pads.field("block_id").isin(blocks)
+            rows = self._pa_postings_rows(pa_f, cols)
+        if rows is None:
+            pred = (F.col("field") == f) & (F.col("term") == tok)
+            if blocks is not None:
+                pred = pred & F.col("block_id").isin(blocks)
+            rows = self.postings().filter(pred).select(*cols).collect()
         n_postings = sum(r["df_block"] for r in rows)
         self.last_and_stats[key] = {
             "blocks_filter": None if blocks is None else len(blocks),
@@ -689,11 +793,44 @@ class SearchEngine:
         doc_id IN point scan (min/max-pruned on the doc_id-sorted docs
         table — no full scan, no gate: the hits are already collected so
         the point path costs no extra action here)."""
+        docs = self.documents()
+        if (hits and len(hits) <= self._POINT_FETCH_MAX_K
+                and self._pa_dataset("docs") is not None):
+            # embedded point fetch: read exactly the hit rows through
+            # pyarrow (row-group stats prune on the doc_id filter — the
+            # docs files are doc_id-sorted), merge scores driver-side,
+            # and hand Spark a k-row local frame.  Zero jobs.
+            import pyarrow.dataset as pads
+            from pyspark.sql.types import DoubleType, StructField, StructType
+
+            cols = self._ranked_cols(docs, sel)
+            names = list(dict.fromkeys(["doc_id"] + cols))
+            tbl = self._pa_dataset("docs").to_table(
+                columns=names,
+                filter=pads.field("doc_id").isin([int(d) for d, _ in hits]),
+            )
+            pdf = tbl.to_pandas()
+            smap = {int(d): float(s) for d, s in hits}
+            pdf["score"] = pdf["doc_id"].map(smap)
+            # the final sort runs HERE (stable, same float64 keys and
+            # tie-break as the distributed orderBy) so the returned frame
+            # is a pre-ordered LocalRelation: collecting it is job-free —
+            # a Spark orderBy on 10 local rows would cost 3 scheduling
+            # round-trips (sampling + shuffle + collect)
+            pdf = pdf.sort_values(
+                ["score", "conv_id", "turn_idx"],
+                ascending=[False, True, True], kind="mergesort",
+            )[cols + ["score"]]
+            by_name = {fld.name: fld for fld in docs.schema.fields}
+            return self.spark.createDataFrame(
+                pdf,
+                schema=StructType([by_name[c] for c in cols]
+                                  + [StructField("score", DoubleType())]),
+            )
         lit = self.spark.createDataFrame(
             [(int(d), float(s)) for d, s in hits],
             "doc_id long, score double",
         )
-        docs = self.documents()
         if hits and len(hits) <= self._POINT_FETCH_MAX_K:
             docs = docs.filter(
                 F.col("doc_id").isin([int(d) for d, _ in hits])

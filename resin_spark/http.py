@@ -64,6 +64,9 @@ def parse_get_params(qs: dict) -> dict:
         "take": int((qs.get("take") or ["100"])[0]),
         "skip": int((qs.get("skip") or ["0"])[0]),
         "total": (qs.get("total") or ["false"])[0].lower() == "true",
+        # beyond-reference: &phrase=true makes q an exact-phrase string
+        # (adjacent tokens in order) over the FIRST field
+        "phrase": (qs.get("phrase") or ["false"])[0].lower() == "true",
     }
 
 
@@ -165,7 +168,15 @@ class ResinHttpServer:
             return
         q = parse_flat(p["q"], p["fields"], op=p["op"],
                        select=p["select"])
-        if len(p["collections"]) == 1:
+        if p["phrase"] and len(p["collections"]) == 1:
+            eng = self.engine(p["collections"][0])
+            out = eng.phrase_search(p["q"], field=p["fields"][0],
+                                    k=p["take"], skip=p["skip"],
+                                    select=p["select"])
+            total = (eng.phrase_search(p["q"], field=p["fields"][0],
+                                       k=0).count()
+                     if p["total"] else None)
+        elif len(p["collections"]) == 1:
             eng = self.engine(p["collections"][0])
             out = eng.search(q, k=p["take"], skip=p["skip"],
                              select=p["select"])

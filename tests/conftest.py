@@ -15,6 +15,9 @@ def spark():
         .appName("resin_spark_tests")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.adaptive.enabled", "true")
+        # arrow on, as in session.make_session: local pandas frames become
+        # job-free local relations (the embedded fetch path relies on it)
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "4g")
         .config("spark.sql.session.timeZone", "UTC")
@@ -62,17 +65,27 @@ def engine(spark, index_root):
     return SearchEngine(spark, index_root)
 
 
-@pytest.fixture(params=["driver", "distributed", "and_pruned"])
+@pytest.fixture(params=["driver", "driver_sparkio", "distributed",
+                        "and_pruned"])
 def engine_s(request, engine):
     """The same engine under all physical strategies: 'driver' (the
-    size-gated driver-scored fast path — the default at fixture scale),
-    'distributed' (driver scoring disabled, the mask/join folds as
-    before), and 'and_pruned' (Σdf cap 0, so every pure-AND query runs
-    the block-pruned intersection path and everything else falls back to
-    the distributed fold).  Rank-identity suites run under all three so
-    no strategy loses oracle coverage."""
+    size-gated driver-scored fast path with embedded pyarrow IO — the
+    default for a local root at fixture scale), 'driver_sparkio' (driver
+    scoring through Spark collects, the remote-root form), 'distributed'
+    (driver scoring disabled, the mask/join folds as before), and
+    'and_pruned' (Σdf cap 0, so every pure-AND query runs the
+    block-pruned intersection path and everything else falls back to the
+    distributed fold).  Rank-identity suites run under all four so no
+    strategy loses oracle coverage."""
     cap = {"distributed": -1, "and_pruned": 0}.get(request.param)
-    if cap is not None:
+    if request.param == "driver_sparkio":
+        prev = engine.io_mode
+        engine.io_mode = "spark"
+        try:
+            yield engine
+        finally:
+            engine.io_mode = prev
+    elif cap is not None:
         engine._DRIVER_SCORE_MAX_POSTINGS = cap
         try:
             yield engine

@@ -100,7 +100,14 @@ def test_engine_diagnostics(spark, engine):
     assert d["root"] == engine.root
     assert d["fields"]["text"]["n_terms"] > 50
     assert d["fields"]["text"]["n_postings"] >= d["fields"]["text"]["n_terms"]
-    assert "FileScan" in d["plan"]
+    # embedded IO returns the k-row result as a LocalTableScan; the
+    # spark-io plan must show the real file scan
+    assert "LocalTableScan" in d["plan"] or "FileScan" in d["plan"]
+    from resin_spark.executor import SearchEngine
+
+    d2 = SearchEngine(engine.spark, engine.root,
+                      io_mode="spark").diagnostics({"or": {"text": "banana"}})
+    assert "FileScan" in d2["plan"]
     assert "text" in d["stats"] and d["stats"]["text"]["n_docs"] > 0
 
 

@@ -110,3 +110,16 @@ def test_error_routes(http_server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _get(http_server, "/query", q="x")  # no collection
     assert e.value.code == 400
+
+
+def test_get_query_phrase(http_server, engine):
+    rows, headers = _get(http_server, "/query", collection="collection",
+                         q="term97 hotterm", field="text", AND="",
+                         phrase="true", take=5, total="true")
+    want = [((r["conv_id"], r["turn_idx"]), r["score"]) for r in
+            engine.phrase_search("term97 hotterm", k=5,
+                                 select=["conv_id", "turn_idx"]).collect()]
+    assert [((r["conv_id"], r["turn_idx"]), pytest.approx(r["score"]))
+            for r in rows] == want and rows
+    full = engine.phrase_search("term97 hotterm", k=0).count()
+    assert int(headers["X-TotalDocumentCount"]) == full == len(rows)

@@ -94,7 +94,10 @@ def test_point_fetch_path_identical_and_pushed(engine, monkeypatch):
     q = {"and": {"text": "banana", "not": {"text": "apples"}}}
     want = engine.search(q, k=5).collect()
 
+    # the pushed point scan is the REMOTE-root fetch path: force spark IO
+    # (embedded IO would answer with a job-free local relation instead)
     monkeypatch.setattr(SearchEngine, "_POINT_FETCH_MIN_DOCS_BYTES", 0)
+    monkeypatch.setattr(engine, "io_mode", "spark")
     got_df = engine.search(q, k=5)
     plan = _plan(got_df)
     assert "doc_id IN" in plan or "doc_id, [" in plan or "In(doc_id" in plan, plan
