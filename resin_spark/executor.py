@@ -455,8 +455,34 @@ class SearchEngine:
                 " "),
             F.lit(" "),
         )
-        adjacent = F.instr(norm, " " + " ".join(toks) + " ") > 0
+        needle = " " + " ".join(toks) + " "
+        adjacent = F.instr(norm, needle) > 0
         hits = self._driver_hits(q, 0, 0)
+        if (hits is not None and len(hits) <= self._PHRASE_POINT_MAX_CANDIDATES
+                and self._pa_dataset("docs") is not None):
+            # embedded verify: candidate texts via one pyarrow point
+            # read, adjacency via the pandas tokenizer twin (tested equal
+            # to the JVM token stream), final frame via the job-free
+            # embedded point fetch.  hits arrive (score desc, doc_id asc)
+            # — the ranking order — so the page is a plain slice.
+            if not hits:
+                return self._fetch_hits([], select)
+            import pyarrow.dataset as pads
+
+            from resin_spark.tokenizer import tokenize_pandas
+
+            tbl = self._pa_dataset("docs").to_table(
+                columns=["doc_id", field],
+                filter=pads.field("doc_id").isin([int(d) for d, _ in hits]),
+            )
+            pdf = tbl.to_pandas()
+            joined = tokenize_pandas(pdf[field].fillna("")).map(
+                lambda ts: " " + " ".join(ts) + " ")
+            ok = set(pdf.loc[joined.str.contains(needle, regex=False),
+                             "doc_id"].astype("int64"))
+            matched = [(d, s) for d, s in hits if int(d) in ok]
+            page = matched[skip:skip + k] if k else matched[skip:]
+            return self._fetch_hits(page, select)
         if hits is not None:
             if not hits:
                 lit = self.spark.createDataFrame([], "doc_id long, score double")
