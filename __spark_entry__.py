@@ -434,6 +434,53 @@ def _q_decontam(spark, sf):
     return dedup.decontaminate_flags(docs, bench, n=3).orderBy("doc_id")
 
 
+def _q_chunk_dedup_apply(spark, sf):
+    """The rewrite form: duplicate chunks removed, survivors reassembled;
+    the md5 of the clean text pins the rewritten token stream itself."""
+    from resin_spark import dedup
+
+    d = _docs(spark, sf).select(
+        "doc_id",
+        F.concat(
+            F.expr("repeat(concat('shared', doc_id % 7, ' '), 10)"),
+            F.col("text"),
+        ).alias("text"),
+    )
+    return (
+        dedup.chunk_dedup_apply(d, window=10)
+        .select("doc_id", F.md5("clean_text").alias("clean_fp"),
+                "n_chunks", "n_removed")
+        .orderBy("doc_id")
+    )
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _q_events_gap_stats(spark, sf):
+    """Per-user event timing via lag() under the deterministic
+    (ts, event_id) order — exact epoch-microsecond integers."""
+    from resin_spark import datasets
+
+    return datasets.event_gap_stats(_events(spark, sf)).orderBy("user_id")
+
+
+def _q_events_transitions(spark, sf):
+    """Event-type bigram counts via lead() per user stream."""
+    from resin_spark import datasets
+
+    return (datasets.event_transitions(_events(spark, sf))
+            .orderBy("event_type", "next_type"))
+
+
+def _q_events_props_agg(spark, sf):
+    """JSON-props aggregation: get_json_object('$.k') summed per type."""
+    from resin_spark import datasets
+
+    return datasets.props_agg(_events(spark, sf)).orderBy("event_type")
+
+
 def _q_engine_phrase(spark, sf):
     """Exact-phrase retrieval through the engine: the AND ranking of the
     phrase's terms restricted to docs whose tokenizer-normalized text
@@ -788,7 +835,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_redact": _q_pii_redact,
         "text_url_dedup": _q_url_dedup,
         "dedup_chunks": _q_chunk_dedup,
+        "dedup_chunks_apply": _q_chunk_dedup_apply,
         "text_decontam": _q_decontam,
+        # event-sequence analytics (window + JSON functions)
+        "events_gap_stats": _q_events_gap_stats,
+        "events_transitions": _q_events_transitions,
+        "events_props_agg": _q_events_props_agg,
         "ft_resin_cosine": _q_resin_cosine,
         "ft_bm25_charbag": _q_bm25_charbag,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
@@ -1431,6 +1483,41 @@ FROM documents d LEFT JOIN (
 ) m USING (doc_id)
 ORDER BY d.doc_id
 """,
+        "dedup_chunks_apply": f"""
+WITH planted AS (
+  SELECT doc_id,
+         repeat('shared' || (doc_id % 7) || ' ', 10) || text AS text
+  FROM documents
+),
+tk AS (SELECT doc_id, {TOKS} AS toks FROM planted),
+ch AS (
+  SELECT doc_id, i AS chunk_idx,
+         array_to_string(list_slice(toks, i * 10 + 1, i * 10 + 10), ' ') AS chunk
+  FROM tk, unnest(range((len(toks) + 9) // 10)) AS t(i)
+  WHERE len(toks) > 0
+),
+marked AS (
+  SELECT doc_id, chunk_idx, chunk,
+         count(*) OVER (PARTITION BY md5(chunk)) AS n_occ,
+         row_number() OVER (PARTITION BY md5(chunk)
+                            ORDER BY doc_id, chunk_idx) AS rn
+  FROM ch
+)
+SELECT d.doc_id,
+       md5(coalesce(m.clean_text, '')) AS clean_fp,
+       coalesce(m.n_chunks, 0)::BIGINT AS n_chunks,
+       coalesce(m.n_removed, 0)::BIGINT AS n_removed
+FROM documents d LEFT JOIN (
+  SELECT doc_id,
+         string_agg(CASE WHEN NOT (n_occ > 1 AND rn > 1) THEN chunk END,
+                    ' ' ORDER BY chunk_idx) AS clean_text,
+         count(*)::BIGINT AS n_chunks,
+         sum(CASE WHEN n_occ > 1 AND rn > 1 THEN 1 ELSE 0 END)::BIGINT
+           AS n_removed
+  FROM marked GROUP BY doc_id
+) m USING (doc_id)
+ORDER BY d.doc_id
+""",
         "text_decontam": f"""
 WITH tk AS (SELECT doc_id, {TOKS} AS toks FROM documents),
 doc_grams AS (
@@ -1452,6 +1539,35 @@ SELECT d.doc_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
        coalesce(h.n_hits, 0) > 0 AS contaminated
 FROM documents d LEFT JOIN hits h USING (doc_id)
 ORDER BY d.doc_id
+""",
+        "events_gap_stats": """
+WITH g AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+)
+SELECT user_id, count(*)::BIGINT AS n_events,
+       (max(us) - min(us))::BIGINT AS span_us,
+       max(gap)::BIGINT AS max_gap_us
+FROM g GROUP BY user_id ORDER BY user_id
+""",
+        "events_transitions": """
+WITH s AS (
+  SELECT event_type,
+         lead(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+)
+SELECT event_type, next_type, count(*)::BIGINT AS n
+FROM s WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type ORDER BY event_type, next_type
+""",
+        "events_props_agg": """
+SELECT event_type, count(*)::BIGINT AS n,
+       sum(coalesce(json_extract_string(props, '$.k')::BIGINT, 0))::BIGINT
+         AS sum_val
+FROM events GROUP BY event_type ORDER BY event_type
 """,
         "ft_engine_phrase": SQL_PRELUDE + f"""
 , phrase_docs AS (

@@ -131,3 +131,73 @@ def topk_ngrams(
         .orderBy(F.desc("cnt"), F.asc("ngram"))
         .limit(k)
     )
+
+
+# ----------------------------------------------------- event analytics
+# Sequence analytics over event/transcript logs (the exploratory queries
+# a transcripts user runs next to search): per-key gap statistics,
+# event-type transition counts, JSON-props aggregation.  Each is one
+# hash-partitioned window or aggregation — no global window, no Python.
+
+
+def _epoch_micros(c) -> Column:
+    """NTZ-safe exact epoch microseconds: whole seconds via wall-clock
+    interval from the epoch (tz-independent, as streaming._epoch_seconds)
+    plus the microsecond fraction — matches DuckDB epoch_us() exactly."""
+    ntz = c.cast("timestamp_ntz")
+    secs = (ntz - F.expr("timestamp_ntz'1970-01-01 00:00:00'")).cast("long")
+    frac = F.date_format(ntz, "SSSSSS").cast("long")
+    return secs * F.lit(1_000_000) + frac
+
+
+def event_gap_stats(df: DataFrame, key: str = "user_id", ts: str = "ts",
+                    tie: str = "event_id") -> DataFrame:
+    """Per-key event timing: (key, n_events, span_us, max_gap_us) where
+    gaps are consecutive-event deltas under the deterministic order
+    (ts, tie).  One shuffle (hash on key); the window sort is per-key and
+    spillable — at 10^12 events parallelism = #keys, never a global
+    sort.  Microsecond integers end-to-end, so values are engine-exact."""
+    us = _epoch_micros(F.col(ts))
+    w = Window.partitionBy(key).orderBy(ts, tie)
+    gap = us - F.lag(us).over(w)
+    return (
+        df.select(F.col(key), us.alias("_us"), gap.alias("_gap"))
+        .groupBy(key)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            (F.max("_us") - F.min("_us")).cast("long").alias("span_us"),
+            F.max("_gap").cast("long").alias("max_gap_us"),
+        )
+    )
+
+
+def event_transitions(df: DataFrame, key: str = "user_id", ts: str = "ts",
+                      etype: str = "event_type",
+                      tie: str = "event_id") -> DataFrame:
+    """Event-type bigram counts: how often ``a`` is immediately followed
+    by ``b`` within one key's ordered stream.  lead() under the same
+    deterministic per-key order, then a map-side-combined count —
+    (event_type, next_type, n)."""
+    w = Window.partitionBy(key).orderBy(ts, tie)
+    nxt = F.lead(etype).over(w)
+    return (
+        df.select(F.col(etype).alias("event_type"), nxt.alias("next_type"))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def props_agg(df: DataFrame, path: str = "$.k", etype: str = "event_type",
+              props: str = "props") -> DataFrame:
+    """JSON-props aggregation: extract an integer field from the JSON
+    ``props`` column (JVM get_json_object — codegen, no Python) and sum
+    it per event type.  (event_type, n, sum_val); rows whose props lack
+    the path are counted with sum contribution 0."""
+    v = F.coalesce(
+        F.get_json_object(F.col(props), path).cast("long"), F.lit(0))
+    return (
+        df.groupBy(F.col(etype).alias("event_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.sum(v).cast("long").alias("sum_val"))
+    )

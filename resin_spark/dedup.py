@@ -585,3 +585,60 @@ def decontaminate_flags(df: DataFrame, benchmark: "list[str] | DataFrame",
     return df.select(
         F.col(key), n_hits.alias("n_hits"), (n_hits > 0).alias("contaminated")
     )
+
+
+def chunk_dedup_apply(df: DataFrame, key: str = "doc_id",
+                      text: str = "text", window: int = 20) -> DataFrame:
+    """The rewrite form of chunk_dedup_stats: duplicate chunks (any
+    occurrence after the corpus-wide first, ordered by (key, chunk_idx))
+    are REMOVED and the survivors reassemble into ``clean_text``
+    (space-joined tokens, chunk order preserved).  Returns
+    (key, clean_text, n_chunks, n_removed); docs reduced to nothing keep
+    an empty clean_text.  Same scale shape as the stats form — one
+    fingerprint shuffle + one per-doc regroup, no pair explosion."""
+    toks = tokens_col(text)
+    n = F.size(toks)
+    n_chunks = F.ceil(n / F.lit(window)).cast("int")
+    chunks = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(
+                F.slice(toks, i * window + 1, window), " "),
+        ),
+    ).otherwise(F.expr("array()"))
+    ex = (
+        df.select(F.col(key), F.posexplode_outer(chunks)
+                  .alias("chunk_idx", "chunk"))
+        .withColumn("fp", F.md5(F.col("chunk")))
+    )
+    first = (
+        ex.filter(F.col("fp").isNotNull())
+        .groupBy("fp")
+        .agg(F.min(F.struct(key, "chunk_idx")).alias("first"),
+             F.count(F.lit(1)).alias("n_occ"))
+    )
+    marked = ex.join(first, "fp", "left").select(
+        F.col(key), "chunk_idx", "chunk",
+        (
+            (F.col("n_occ") > 1)
+            & ~((F.col(f"first.{key}") == F.col(key))
+                & (F.col("first.chunk_idx") == F.col("chunk_idx")))
+        ).alias("removed"),
+    )
+    # collect_list drops the NULLs the when() emits for removed/absent
+    # chunks; sort_array restores chunk order (structs sort by chunk_idx)
+    kept = F.sort_array(F.collect_list(F.when(
+        ~F.coalesce(F.col("removed"), F.lit(True)),
+        F.struct("chunk_idx", "chunk"))))
+    return (
+        marked.groupBy(key)
+        .agg(
+            F.array_join(
+                F.transform(kept, lambda s: s["chunk"]), " ").alias("clean_text"),
+            F.sum(F.when(F.col("chunk_idx").isNotNull(), 1).otherwise(0))
+            .cast("long").alias("n_chunks"),
+            F.sum(F.when(F.col("removed"), 1).otherwise(0))
+            .cast("long").alias("n_removed"),
+        )
+    )

@@ -288,17 +288,37 @@ class SearchEngine:
     # ------------------------------------------------------------ stats
     def stats(self) -> dict[str, dict]:
         """Per-field corpus stats aggregated over segments, driver-side.
-        avgdl = exact-int total_tokens / n_docs (bit-identical to oracle)."""
+        avgdl = exact-int total_tokens / n_docs (bit-identical to oracle).
+        Embedded IO reads the (tiny, per-segment) stats parquet through
+        pyarrow — int64 sums commute, so the values are identical."""
         if self._stats is None:
-            rows = (
-                B.read_stats(self.spark, self.root, self.snapshot)
-                .groupBy("field")
-                .agg(
-                    F.sum("total_tokens").alias("total_tokens"),
-                    F.sum("n_docs").alias("n_docs"),
+            rows: list = []
+            p = B.p_stats(self.root, self.snapshot)
+            lp = self._local_path(p) if self.io_mode == "auto" else None
+            if lp is not None:
+                import pyarrow.dataset as pads
+
+                pdf = pads.dataset(
+                    lp, format="parquet", partitioning="hive"
+                ).to_table(
+                    columns=["field", "total_tokens", "n_docs"]
+                ).to_pandas()
+                agg = pdf.groupby("field")[["total_tokens", "n_docs"]].sum()
+                rows = [
+                    {"field": f, "total_tokens": int(r["total_tokens"]),
+                     "n_docs": int(r["n_docs"])}
+                    for f, r in agg.iterrows()
+                ]
+            else:
+                rows = (
+                    B.read_stats(self.spark, self.root, self.snapshot)
+                    .groupBy("field")
+                    .agg(
+                        F.sum("total_tokens").alias("total_tokens"),
+                        F.sum("n_docs").alias("n_docs"),
+                    )
+                    .collect()
                 )
-                .collect()
-            )
             self._stats = {
                 r["field"]: {
                     "total_tokens": r["total_tokens"],

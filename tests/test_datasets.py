@@ -94,3 +94,37 @@ def test_topk_ngrams_matches_python_twin(spark, docs):
             cnt[toks[i] + " " + toks[i + 1]] += 1
     want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
     assert got == want
+
+
+def test_event_analytics_ops(spark):
+    """Window (lag/lead) + JSON ops: exact microsecond gaps, transition
+    bigrams, props sums — values checked against hand computation."""
+    import datetime as dt
+
+    from resin_spark import datasets as D
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # (event_id, ts, user_id, event_type, props)
+        (0, base, 1, "view", '{"k": 3}'),
+        (1, base + dt.timedelta(microseconds=1_500_000), 1, "click", '{"k": 5}'),
+        (2, base + dt.timedelta(seconds=10), 1, "view", '{}'),
+        (3, base, 2, "click", None),
+        # same-ts pair for user 2: event_id breaks the tie
+        (4, base + dt.timedelta(seconds=1), 2, "view", '{"k": 2}'),
+        (5, base + dt.timedelta(seconds=1), 2, "click", '{"k": 4}'),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, props string")
+    gaps = {r["user_id"]: r for r in D.event_gap_stats(df).collect()}
+    assert (gaps[1]["n_events"], gaps[1]["span_us"],
+            gaps[1]["max_gap_us"]) == (3, 10_000_000, 8_500_000)
+    assert (gaps[2]["n_events"], gaps[2]["span_us"],
+            gaps[2]["max_gap_us"]) == (3, 1_000_000, 1_000_000)
+    trans = {(r["event_type"], r["next_type"]): r["n"]
+             for r in D.event_transitions(df).collect()}
+    assert trans == {("view", "click"): 2, ("click", "view"): 2}
+    props = {r["event_type"]: (r["n"], r["sum_val"])
+             for r in D.props_agg(df).collect()}
+    assert props == {"view": (3, 5), "click": (3, 9)}

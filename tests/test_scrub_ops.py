@@ -131,3 +131,30 @@ def test_decontaminate_list_and_frame_forms_agree(spark):
     # small-bench form is join-free: one narrow projection
     p = _plan(dedup.decontaminate_flags(df, bench, n=3))
     assert "Join" not in p and not _has_python_eval(p)
+
+
+def test_chunk_dedup_apply_rewrites(spark):
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(25))),
+        (2, " ".join(f"w{i}" for i in range(20)) + " tail bits"),
+        (3, " ".join(f"w{i}" for i in range(20))),  # nothing survives
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           dedup.chunk_dedup_apply(df, window=20).collect()}
+    # doc1 owns chunk0 (w0..w19) and keeps its tail chunk
+    assert got[1]["clean_text"] == " ".join(f"w{i}" for i in range(25))
+    assert (got[1]["n_chunks"], got[1]["n_removed"]) == (2, 0)
+    # doc2 loses the shared first chunk, keeps its tail
+    assert got[2]["clean_text"] == "tail bits"
+    assert (got[2]["n_chunks"], got[2]["n_removed"]) == (2, 1)
+    # doc3 is entirely duplicate: rewritten to empty
+    assert got[3]["clean_text"] == ""
+    assert (got[3]["n_chunks"], got[3]["n_removed"]) == (1, 1)
+    assert got[4]["clean_text"] == "" and got[4]["n_chunks"] == 0
+    # stats form must agree with the rewrite form
+    stats = {r["doc_id"]: (r["n_chunks"], r["n_removed"]) for r in
+             dedup.chunk_dedup_stats(df, window=20).collect()}
+    assert stats == {k: (r["n_chunks"], r["n_removed"])
+                     for k, r in got.items()}
