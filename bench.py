@@ -274,6 +274,21 @@ def main() -> None:
             ts.append(time.monotonic() - t0)
             engine.clear_cache()
         q_lat[name] = round(statistics.median(ts), 3)
+    # REPEAT-query latency: same queries WITHOUT clear_cache between
+    # trials, so the decoded-postings LRU stays warm — the steady-state
+    # latency of a long-lived session re-asking hot queries (the
+    # reference's cached-ColumnReader behavior).  Reported separately;
+    # the cold numbers above never hit this cache.
+    q_rep: dict[str, float] = {}
+    for name, q in QUERIES.items():
+        engine.search(q, k=10).collect()  # prime the LRU
+        ts = []
+        for _ in range(3):
+            t0 = time.monotonic()
+            engine.search(q, k=10).collect()
+            ts.append(time.monotonic() - t0)
+        q_rep[name] = round(statistics.median(ts), 3)
+        engine.clear_cache()
 
     # block-max WAND: exactness on the uniform corpus + PRUNING on the
     # Zipf/bursty corpus (block bounds must differ for pruning to bite)
@@ -408,6 +423,9 @@ def main() -> None:
         "control_drambound_trials": [round(x, 3) for x in dram_trials],
         "scaling_vs_dram_control": round(eff / ctl_dram, 3),
         "query_latency_avg_sec": round(sum(q_lat.values()) / len(q_lat), 3),
+        "queries_repeat_warm": q_rep,
+        "query_latency_repeat_avg_sec": round(
+            sum(q_rep.values()) / len(q_rep), 3),
         "wand_blocks_total": wand_stats["blocks_total"],
         "wand_blocks_scored": wand_stats["blocks_scored"],
         "wand_zipf_blocks_total": z_total,
@@ -545,7 +563,12 @@ available via RESIN_SPARK_TERM_DICT=1.
 | query | sec |
 |---|---|
 {''.join(f"| {k} | {v:.3f} |" + chr(10) for k, v in r['queries'].items())}
-Avg: {r['query_latency_avg_sec']:.3f} s.  Reference claims "sub-second"
+Avg: {r['query_latency_avg_sec']:.3f} s (cold term cache — clear_cache
+between trials).  REPEAT-query latency with the decoded-postings LRU warm
+(no clear between trials — the steady-state of a long-lived session):
+{''.join(f"{k} {v:.3f} s, " for k, v in r['queries_repeat_warm'].items())}
+avg **{r['query_latency_repeat_avg_sec']:.3f} s**.
+Reference claims "sub-second"
 phrase queries on a ~6M-doc corpus single-node (README.md:34).  These
 queries run the EMBEDDED driver-scored strategy (io_mode='auto', local
 root): posting blocks, the term-df mirror, and the top-k point fetch all

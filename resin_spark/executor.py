@@ -84,7 +84,39 @@ class SearchEngine:
         self._term_df_checked = False
         self._docs_size: int | None = None
         self._pa_cache: dict = {}
+        # decoded-postings LRU: (field, term) -> (uid, tf, dl) numpy
+        # arrays, bounded by total postings (_TERM_LRU_MAX_POSTINGS ≈
+        # 24 B/posting decoded).  The driver-side analog of the
+        # reference's per-session ColumnReader cache
+        # (SessionFactory.cs:396-403): repeat queries over warm terms
+        # skip the postings read entirely.  clear_cache() drops it, so
+        # benchmarks that reset between trials never time a cache hit.
+        from collections import OrderedDict
+
+        self._term_lru: "OrderedDict[tuple, tuple]" = OrderedDict()
+        self._term_lru_postings = 0
         self.last_and_stats: dict = {}
+
+    _TERM_LRU_MAX_POSTINGS = 4_000_000  # ~100 MB decoded
+
+    def _lru_get(self, key: tuple):
+        got = self._term_lru.get(key)
+        if got is not None:
+            self._term_lru.move_to_end(key)
+        return got
+
+    def _lru_put(self, key: tuple, arrs: tuple) -> None:
+        n = len(arrs[0])
+        if n > self._TERM_LRU_MAX_POSTINGS:
+            return
+        old = self._term_lru.pop(key, None)
+        if old is not None:
+            self._term_lru_postings -= len(old[0])
+        self._term_lru[key] = arrs
+        self._term_lru_postings += n
+        while self._term_lru_postings > self._TERM_LRU_MAX_POSTINGS:
+            _, ev = self._term_lru.popitem(last=False)
+            self._term_lru_postings -= len(ev[0])
 
     # ------------------------------------------------------- embedded IO
     # term-df mirrors built by the embedded path group over the postings
@@ -580,25 +612,41 @@ class SearchEngine:
             return None  # driver scoring disabled (the test/strategy hook)
         if sum(df_by_key) > self._DRIVER_SCORE_MAX_POSTINGS:
             return self._driver_and_hits(q, keys, idx, df_by_key, k, skip)
-        self.clear_cache()
+        self._evict_persisted()
         if not any(df_by_key):
             return []
-        cols = ("field", "term", "doc_ids_bin", "tfs_bin", "dls_bin")
-        pa_f = self._pa_filter_terms(by_field)
-        rows = self._pa_postings_rows(pa_f, cols) if pa_f is not None else None
-        if rows is None:
-            pred = _functools_reduce(
-                lambda a, b: a | b,
-                [
-                    (F.col("field") == f) & F.col("term").isin(sorted(toks))
-                    for f, toks in by_field.items()
-                ],
-            )
-            rows = self.postings().filter(pred).select(*cols).collect()
         import numpy as np
 
         from resin_spark.postings import decode_counts, decode_doc_ids
 
+        empty64 = np.empty(0, dtype=np.int64)
+        # warm terms come straight off the decoded-postings LRU; only
+        # cache misses (with df > 0) are read
+        cached: dict[int, tuple] = {}
+        miss_by_field: dict[str, set[str]] = {}
+        for key, i in idx.items():
+            if not df_by_key[i]:
+                continue
+            got = self._lru_get(key)
+            if got is not None:
+                cached[i] = got
+            else:
+                miss_by_field.setdefault(key[0], set()).add(key[1])
+        rows: list = []
+        if miss_by_field:
+            cols = ("field", "term", "doc_ids_bin", "tfs_bin", "dls_bin")
+            pa_f = self._pa_filter_terms(miss_by_field)
+            rows = (self._pa_postings_rows(pa_f, cols)
+                    if pa_f is not None else None)
+            if rows is None:
+                pred = _functools_reduce(
+                    lambda a, b: a | b,
+                    [
+                        (F.col("field") == f) & F.col("term").isin(sorted(toks))
+                        for f, toks in miss_by_field.items()
+                    ],
+                )
+                rows = self.postings().filter(pred).select(*cols).collect()
         # per-key sorted-unique (doc_id, tf, dl) arrays; mirrors the mask
         # agg (sum tf, max dl — surface mode has one row per (doc, key),
         # so both are identity).  All O(Σdf), no nkeys×ndocs dense state.
@@ -608,22 +656,22 @@ class SearchEngine:
             if i is not None:
                 bufs[i].append((bytes(r["doc_ids_bin"]), bytes(r["tfs_bin"]),
                                 bytes(r["dls_bin"])))
-        empty64 = np.empty(0, dtype=np.int64)
         uid_k, tf_k, dl_k = [], [], []
-        for blist in bufs:
-            if not blist:
-                uid_k.append(empty64)
-                tf_k.append(empty64)
-                dl_k.append(empty64)
-                continue
-            ids = np.concatenate([decode_doc_ids(b) for b, _, _ in blist])
-            tfs = np.concatenate([decode_counts(b) for _, b, _ in blist])
-            dls = np.concatenate([decode_counts(b) for _, _, b in blist])
-            uid, inv = np.unique(ids, return_inverse=True)
-            tf = np.zeros(len(uid), dtype=np.int64)
-            np.add.at(tf, inv, tfs)
-            dl = np.zeros(len(uid), dtype=np.int64)
-            np.maximum.at(dl, inv, dls)
+        for i, blist in enumerate(bufs):
+            if i in cached:
+                uid, tf, dl = cached[i]
+            elif not blist:
+                uid, tf, dl = empty64, empty64, empty64
+            else:
+                ids = np.concatenate([decode_doc_ids(b) for b, _, _ in blist])
+                tfs = np.concatenate([decode_counts(b) for _, b, _ in blist])
+                dls = np.concatenate([decode_counts(b) for _, _, b in blist])
+                uid, inv = np.unique(ids, return_inverse=True)
+                tf = np.zeros(len(uid), dtype=np.int64)
+                np.add.at(tf, inv, tfs)
+                dl = np.zeros(len(uid), dtype=np.int64)
+                np.maximum.at(dl, inv, dls)
+                self._lru_put(keys[i], (uid, tf, dl))
             uid_k.append(uid)
             tf_k.append(tf)
             dl_k.append(dl)
@@ -680,6 +728,15 @@ class SearchEngine:
         from resin_spark.postings import decode_counts, decode_doc_ids
 
         f, tok = key
+        if blocks is None:
+            got = self._lru_get(key)
+            if got is not None:
+                self.last_and_stats[key] = {
+                    "blocks_filter": None,
+                    "postings_collected": int(len(got[0])),
+                    "lru_hit": True,
+                }
+                return got
         cols = ("df_block", "doc_ids_bin", "tfs_bin", "dls_bin")
         rows = None
         if self._pa_dataset("postings") is not None:
@@ -712,6 +769,10 @@ class SearchEngine:
         np.add.at(tf, inv, tfs)
         dl = np.zeros(len(uid), dtype=np.int64)
         np.maximum.at(dl, inv, dls)
+        if blocks is None:
+            # only FULL-term reads are cacheable (block-restricted
+            # collects are specific to one query's intersection)
+            self._lru_put(key, (uid, tf, dl))
         return uid, tf, dl
 
     def _driver_and_hits(self, q: Query, keys: list, idx: dict,
@@ -737,7 +798,7 @@ class SearchEngine:
         order = sorted(present, key=lambda i: (df_by_key[i], i))
         if df_by_key[order[0]] > self._AND_SEED_MAX_POSTINGS:
             return None
-        self.clear_cache()
+        self._evict_persisted()
         # pruning observability: per-key {blocks_filter, postings_collected}
         # vs the mirror df — read after a query to see what the block
         # restriction saved (the skip-intersection analog of
@@ -916,7 +977,7 @@ class SearchEngine:
         # evict the previous query's persisted postings: a long-lived
         # engine must not accumulate one cached RDD per query (a caller
         # still holding an old result DataFrame just recomputes it)
-        self.clear_cache()
+        self._evict_persisted()
         key_col = self._key_col(term_identity)
         terms = query_terms(q)
         if not terms:
@@ -1367,10 +1428,21 @@ class SearchEngine:
             .agg(F.sum("df_block").alias("df"))
         )
 
-    def clear_cache(self) -> None:
+    def _evict_persisted(self) -> None:
+        """Per-query cleanup: unpersist the previous query's RDDs (a
+        long-lived engine must not accumulate one cached RDD per query)."""
         for df in self._cached:
             df.unpersist()
         self._cached.clear()
+
+    def clear_cache(self) -> None:
+        """Full reset: persisted RDDs AND the decoded-postings LRU.
+        Benchmarks call this between trials so a timed query never hits
+        the warm term cache; long-lived sessions keep the LRU across
+        queries (the reference's cached-ColumnReader behavior)."""
+        self._evict_persisted()
+        self._term_lru.clear()
+        self._term_lru_postings = 0
 
 
 def multi_search(

@@ -95,3 +95,45 @@ def test_spark_io_mode_forces_spark_reads(engine):
     e = SearchEngine(engine.spark, engine.root, io_mode="spark")
     assert e._pa_dataset("postings") is None
     assert e._pa_dataset("docs") is None
+
+
+def test_term_lru_repeat_query_skips_postings_read(engine, monkeypatch):
+    """A repeat query over warm terms must answer from the decoded-
+    postings LRU: identical results with NO postings read at all; a
+    public clear_cache() drops the LRU (benchmark honesty)."""
+    q = {"or": {"text": "banana"}}
+    engine.clear_cache()
+    want = engine.topk(q, k=5)
+    assert engine._term_lru  # warm after the first query
+
+    def boom(*a, **k):
+        raise AssertionError("postings store touched on a warm repeat")
+
+    monkeypatch.setattr(engine, "postings", boom)
+    monkeypatch.setattr(engine, "_pa_postings_rows", boom)
+    assert engine.topk(q, k=5) == want
+    monkeypatch.undo()
+    # a public clear_cache must drop the LRU; the next query re-reads
+    engine.clear_cache()
+    assert not engine._term_lru
+    got = engine.topk(q, k=5)
+    assert got == want
+
+
+def test_term_lru_eviction_bound(engine):
+    import numpy as np
+
+    engine.clear_cache()
+    one = np.ones(1, dtype=np.int64)
+    cap = engine._TERM_LRU_MAX_POSTINGS
+    big = np.ones(cap // 2 + 1, dtype=np.int64)
+    engine._lru_put(("text", "a"), (big, big, big))
+    engine._lru_put(("text", "b"), (big, big, big))  # evicts 'a'
+    assert ("text", "a") not in engine._term_lru
+    engine._lru_put(("text", "c"), (one, one, one))
+    assert engine._term_lru_postings <= cap
+    over = np.ones(cap + 1, dtype=np.int64)
+    engine._lru_put(("text", "d"), (over, over, over))  # too big: ignored
+    assert ("text", "d") not in engine._term_lru
+    engine.clear_cache()
+    assert engine._term_lru_postings == 0 and not engine._term_lru
