@@ -454,6 +454,42 @@ def _q_chunk_dedup_apply(spark, sf):
     )
 
 
+def _q_pipeline_clean(spark, sf):
+    """The COMPOSED cleaning pipeline (pipeline.clean_corpus): PII
+    redaction -> exact dedup -> chunk-level rewrite -> benchmark
+    decontamination, end-to-end against one SQL oracle.  Planted signal:
+    every doc_id % 50 == 1 is a byte-identical copy of its leader (exact
+    dup), every doc carries a class-shared 10-token prefix (chunk dups)
+    and a synthetic email (PII), and doc 7's original text plays the
+    eval set (decontamination)."""
+    from resin_spark import pipeline
+
+    docs = _docs(spark, sf)
+    eff = (
+        F.when(F.pmod("doc_id", F.lit(50)) == 1, F.col("doc_id") - 1)
+        .otherwise(F.col("doc_id"))
+    )
+    src = docs.select("doc_id", eff.alias("eff_id"))
+    leaders = docs.select(F.col("doc_id").alias("eff_id"), "text")
+    planted = src.join(leaders, "eff_id").select(
+        "doc_id",
+        F.concat(
+            F.expr("repeat(concat('shared', eff_id % 7, ' '), 10)"),
+            F.col("text"),
+            F.lit(" contact u"), F.pmod("eff_id", F.lit(25)),
+            F.lit("@ex.org"),
+        ).alias("text"),
+    )
+    bench = [docs.filter(F.col("doc_id") == 7).collect()[0]["text"]]
+    out = pipeline.clean_corpus(planted, benchmark=bench,
+                                window=10, ngram=5)
+    return (
+        out.select("doc_id", F.md5("clean_text").alias("clean_fp"),
+                   "n_chunks", "n_removed")
+        .orderBy("doc_id")
+    )
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
@@ -837,6 +873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_chunks": _q_chunk_dedup,
         "dedup_chunks_apply": _q_chunk_dedup_apply,
         "text_decontam": _q_decontam,
+        "pipeline_clean": _q_pipeline_clean,
         # event-sequence analytics (window + JSON functions)
         "events_gap_stats": _q_events_gap_stats,
         "events_transitions": _q_events_transitions,
@@ -1539,6 +1576,79 @@ SELECT d.doc_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
        coalesce(h.n_hits, 0) > 0 AS contaminated
 FROM documents d LEFT JOIN hits h USING (doc_id)
 ORDER BY d.doc_id
+""",
+        "pipeline_clean": f"""
+WITH eff AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 50 = 1 THEN doc_id - 1 ELSE doc_id END AS eff_id
+  FROM documents
+),
+planted AS (
+  SELECT e.doc_id,
+         repeat('shared' || (d.doc_id % 7) || ' ', 10) || d.text
+         || ' contact u' || (d.doc_id % 25) || '@ex.org' AS text
+  FROM eff e JOIN documents d ON d.doc_id = e.eff_id
+),
+red AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+             '[EMAIL]', 'g'),
+             '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b',
+             '[IP]', 'g'),
+             '\\b\\d{{3}}[-. ]\\d{{3}}[-. ]\\d{{4}}\\b', '[PHONE]', 'g')
+           AS text
+  FROM planted
+),
+tk AS (SELECT doc_id, {TOKS} AS toks FROM red),
+owners AS (
+  SELECT min(doc_id) AS doc_id
+  FROM (SELECT doc_id, md5(array_to_string(toks, ' ')) AS f FROM tk)
+  GROUP BY f
+),
+surv AS (SELECT tk.doc_id, tk.toks FROM tk JOIN owners USING (doc_id)),
+ch AS (
+  SELECT doc_id, i AS chunk_idx,
+         array_to_string(list_slice(toks, i * 10 + 1, i * 10 + 10), ' ') AS chunk
+  FROM surv, unnest(range((len(toks) + 9) // 10)) AS t(i)
+  WHERE len(toks) > 0
+),
+marked AS (
+  SELECT doc_id, chunk_idx, chunk,
+         count(*) OVER (PARTITION BY md5(chunk)) AS n_occ,
+         row_number() OVER (PARTITION BY md5(chunk)
+                            ORDER BY doc_id, chunk_idx) AS rn
+  FROM ch
+),
+agg AS (
+  SELECT doc_id,
+         coalesce(string_agg(
+             CASE WHEN NOT (n_occ > 1 AND rn > 1) THEN chunk END,
+             ' ' ORDER BY chunk_idx), '') AS clean_text,
+         count(*)::BIGINT AS n_chunks,
+         sum(CASE WHEN n_occ > 1 AND rn > 1 THEN 1 ELSE 0 END)::BIGINT
+           AS n_removed
+  FROM marked GROUP BY doc_id
+),
+bench AS (
+  SELECT DISTINCT array_to_string(list_slice(toks, i + 1, i + 5), ' ') AS gram
+  FROM (SELECT {TOKS} AS toks FROM documents WHERE doc_id = 7),
+       unnest(range(len(toks) - 4)) AS t(i)
+),
+contaminated AS (
+  SELECT DISTINCT doc_id
+  FROM (
+    SELECT a.doc_id,
+           array_to_string(list_slice(ct, i + 1, i + 5), ' ') AS gram
+    FROM (SELECT doc_id,
+                 list_filter(str_split(clean_text, ' '), x -> x <> '') AS ct
+          FROM agg) a,
+         unnest(range(len(ct) - 4)) AS t(i)
+  ) g JOIN bench USING (gram)
+)
+SELECT a.doc_id, md5(a.clean_text) AS clean_fp, a.n_chunks, a.n_removed
+FROM agg a ANTI JOIN contaminated c USING (doc_id)
+ORDER BY a.doc_id
 """,
         "events_gap_stats": """
 WITH g AS (

@@ -158,3 +158,32 @@ def test_chunk_dedup_apply_rewrites(spark):
              dedup.chunk_dedup_stats(df, window=20).collect()}
     assert stats == {k: (r["n_chunks"], r["n_removed"])
                      for k, r in got.items()}
+
+
+def test_clean_corpus_pipeline(spark):
+    from resin_spark import pipeline
+
+    rows = [
+        (0, "alpha beta mail a@b.co " + " ".join(f"w{i}" for i in range(10))),
+        (1, "alpha beta mail a@b.co " + " ".join(f"w{i}" for i in range(10))),
+        (2, " ".join(f"w{i}" for i in range(10)) + " fresh tail"),
+        (3, "evalgram one two three four five other things here"),
+        (4, "wholly original content nothing shared anywhere at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in pipeline.clean_corpus(
+        df, benchmark=["evalgram one two three four five"],
+        window=10, ngram=5).collect()}
+    assert set(out) == {0, 2, 4}          # 1 = exact dup, 3 = contaminated
+    assert "[EMAIL]" not in out[0]["clean_text"]  # tokenized placeholder
+    assert "email" in out[0]["clean_text"] and "a" in out[0]["clean_text"]
+    # doc2's first chunk == doc0's second chunk? boundaries differ -> kept
+    assert out[2]["clean_text"].startswith("w0 w1")
+    rep = pipeline.clean_corpus_report(
+        df, pipeline.clean_corpus(
+            df, benchmark=["evalgram one two three four five"],
+            window=10, ngram=5)).collect()[0]
+    assert rep["docs_in"] == 5 and rep["docs_out"] == 3
+    # without a benchmark, only the exact dup drops
+    out2 = pipeline.clean_corpus(df, window=10).collect()
+    assert {r["doc_id"] for r in out2} == {0, 2, 3, 4}
