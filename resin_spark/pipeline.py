@@ -46,6 +46,8 @@ def clean_corpus(
     window: int = 20,
     ngram: int = 5,
     redact_pii: bool = True,
+    near_dup: bool = False,
+    jaccard_threshold: float = 0.8,
 ) -> DataFrame:
     """The composed cleaning pass.  Returns one row per SURVIVING doc:
     (key, clean_text, n_chunks, n_removed) — PII-redacted, exact
@@ -64,6 +66,20 @@ def clean_corpus(
         .select(key)
     )
     survivors = red.join(owners, key, "left_semi")
+    if near_dup:
+        # 2b. near-duplicate CLUSTER dedup: MinHash-LSH candidates →
+        # exact Jaccard verify → connected components → keep only the
+        # canonical (min-key) doc of each cluster.  Bucketed joins +
+        # df-capped verify + O(log n) star rounds — no pair explosion.
+        from resin_spark.dedup import (connected_components, jaccard_pairs,
+                                       minhash_candidates)
+
+        cand = minhash_candidates(survivors, key=key, text=text)
+        pairs = jaccard_pairs(survivors, key=key, text=text,
+                              threshold=jaccard_threshold, candidates=cand)
+        comp = connected_components(survivors.select(key), pairs, key=key)
+        survivors = survivors.join(
+            comp.filter(F.col("keep")).select(key), key, "left_semi")
     # 3. chunk-level rewrite over the deduped corpus
     out = chunk_dedup_apply(survivors, key=key, text=text, window=window)
     # 4. decontamination on the REWRITTEN text (what would be trained on)

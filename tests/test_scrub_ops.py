@@ -187,3 +187,21 @@ def test_clean_corpus_pipeline(spark):
     # without a benchmark, only the exact dup drops
     out2 = pipeline.clean_corpus(df, window=10).collect()
     assert {r["doc_id"] for r in out2} == {0, 2, 3, 4}
+
+
+def test_clean_corpus_near_dup_stage(spark):
+    from resin_spark import pipeline
+
+    base = " ".join(f"t{i}" for i in range(30))
+    rows = [
+        (0, base),
+        (1, base + " extra"),          # near-dup of 0 (not exact)
+        (2, "completely different tokens " + " ".join(f"z{i}" for i in range(26))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    without = {r["doc_id"] for r in pipeline.clean_corpus(
+        df, window=10).collect()}
+    assert without == {0, 1, 2}  # exact dedup alone keeps the near-dup
+    with_nd = {r["doc_id"] for r in pipeline.clean_corpus(
+        df, window=10, near_dup=True, jaccard_threshold=0.8).collect()}
+    assert with_nd == {0, 2}     # cluster keeps the canonical doc only
