@@ -231,10 +231,36 @@ def main() -> None:
     eff_trials = [b / (4.0 * a) for a, b in zip(tp1, tp4)]
 
     b_hi = _build_once(hi, corpus, warm_corpus, f"{tmp}/idx_hi")
+    # second (N, 4N) pair at a larger N: local[8] -> local[32] (the
+    # driver's suggested levels).  local[8] is CPU-pinned to 8 cores;
+    # local[32] uses the whole box (pinning is a no-op there).  Two
+    # interleaved trials per level; the local[32] median folds in the
+    # headline build above.
+    b8_trials, b32_trials = [], [b_hi]
+    if hi == 32:
+        for i in range(2):
+            b8_trials.append(_build_once(8, corpus, warm_corpus,
+                                         f"{tmp}/idx_8_{i}"))
+            b32_trials.append(_build_once(32, corpus, warm_corpus,
+                                          f"{tmp}/idx_32_{i}"))
+    tp8 = [b["turns_per_sec"] for b in b8_trials]
+    tp32 = [b["turns_per_sec"] for b in b32_trials]
+    med8 = statistics.median(tp8) if tp8 else None
+    med32 = statistics.median(tp32)
+    eff_8_32 = (med32 / (4.0 * med8)) if med8 else None
     ctl_cpu = statistics.median(_control_efficiency(CPU_CODE) for _ in range(3))
     ctl_mem = statistics.median(_control_efficiency(MEM_CODE) for _ in range(3))
     dram_trials = sorted(_control_efficiency(DRAM_CODE) for _ in range(5))
     ctl_dram = statistics.median(dram_trials)
+    # matched controls for the 8->32 pair: at 32 processes the whole
+    # box contends for one memory bus, so the fair bound is what plain
+    # CPU/DRAM workloads achieve at the same levels
+    ctl_cpu_8_32 = ctl_dram_8_32 = None
+    if eff_8_32 is not None:
+        ctl_cpu_8_32 = statistics.median(
+            _control_efficiency(CPU_CODE, 8, 32) for _ in range(3))
+        ctl_dram_8_32 = statistics.median(
+            _control_efficiency(DRAM_CODE, 8, 32) for _ in range(3))
 
     def _dir_mb(path: str) -> float:
         total = 0
@@ -417,6 +443,15 @@ def main() -> None:
         "index_bytes_per_turn": round(postings_mb * 1e6 / corpus_turns, 1),
         "scaling_efficiency_1_to_4": round(eff, 3),
         "scaling_efficiency_trials": [round(x, 3) for x in eff_trials],
+        "build_local8_turns_per_sec": round(med8, 1) if med8 else None,
+        "build_local8_trials": [round(x, 1) for x in tp8],
+        "build_local32_trials": [round(x, 1) for x in tp32],
+        "scaling_efficiency_8_to_32": (round(eff_8_32, 3)
+                                       if eff_8_32 else None),
+        "control_cpu_efficiency_8_to_32": (round(ctl_cpu_8_32, 3)
+                                           if ctl_cpu_8_32 else None),
+        "control_drambound_efficiency_8_to_32": (round(ctl_dram_8_32, 3)
+                                                 if ctl_dram_8_32 else None),
         "control_cpu_efficiency_1_to_4": round(ctl_cpu, 3),
         "control_membound_efficiency_1_to_4": round(ctl_mem, 3),
         "control_drambound_efficiency_1_to_4": round(ctl_dram, 3),
@@ -450,6 +485,29 @@ def _write_bench_md(r: dict, b1, b4, b_hi, hi: int, sf: float) -> None:
         f"| {i} | {a:.0f} | {b:.0f} | {b / (4 * a):.3f} |\n"
         for i, (a, b) in enumerate(zip(tp1, tp4))
     )
+    pair82 = ""
+    if r.get("scaling_efficiency_8_to_32"):
+        pair82 = (
+            "\nSecond (N, 4N) pair — local[8] -> local[32], the driver's"
+            " suggested levels: local[8] median"
+            f" **{r['build_local8_turns_per_sec']:.0f} turns/s**"
+            f" (trials {r['build_local8_trials']}), local[32] median"
+            f" **{statistics.median([x for x in r['build_local32_trials']]):.0f}**"
+            f" (trials {r['build_local32_trials']}) ->"
+            f" **efficiency {r['scaling_efficiency_8_to_32']:.3f}**."
+            "  At N=8 the 4N level is the entire box, so this pair"
+            " measures scale-up into full DRAM contention; matched"
+            " controls at the same levels (pinned plain processes):"
+            f" CPU-bound {r['control_cpu_efficiency_8_to_32']:.3f},"
+            " DRAM-bound"
+            f" {r['control_drambound_efficiency_8_to_32']:.3f} —"
+            " the build sits at"
+            f" {r['scaling_efficiency_8_to_32'] / max(r['control_drambound_efficiency_8_to_32'], 1e-9):.2f}x"
+            " its DRAM control.  On a real cluster the 8->32 step adds"
+            " NODES (each with its own memory bus), which is what the"
+            " 1->4 pinned pair models; this pair bounds the worst case"
+            " of scaling within one shared-memory box.\n"
+        )
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write(f"""# BENCH — measured results (bench.py)
 
@@ -476,6 +534,7 @@ local[4] {statistics.median(tp4):.0f} turns/s ->
 
 Headline: local[{hi}] **{b_hi['turns_per_sec']:.0f} turns/s**
 (wall {b_hi['wall_sec']:.1f} s).
+{pair82}
 
 Index size: postings {r['postings_mb']:.1f} MB
 ({r['index_bytes_per_turn']:.1f} B/turn, delta+varint blocks under zstd
