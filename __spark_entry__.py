@@ -454,6 +454,15 @@ def _q_chunk_dedup_apply(spark, sf):
     )
 
 
+def _q_snippets(spark, sf):
+    """Top-k BM25 with result highlighting: the token window (3 left,
+    hit, 3 right) around the first query-term occurrence — a narrow
+    HOF projection over the ranked hits."""
+    from resin_spark import docops
+
+    return docops.bm25_topk_snippets(_docs(spark, sf), "spark", k=10)
+
+
 def _q_pipeline_clean(spark, sf):
     """The COMPOSED cleaning pipeline (pipeline.clean_corpus): PII
     redaction -> exact dedup -> chunk-level rewrite -> benchmark
@@ -873,6 +882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_chunks": _q_chunk_dedup,
         "dedup_chunks_apply": _q_chunk_dedup_apply,
         "text_decontam": _q_decontam,
+        "ft_snippets": _q_snippets,
         "pipeline_clean": _q_pipeline_clean,
         # event-sequence analytics (window + JSON functions)
         "events_gap_stats": _q_events_gap_stats,
@@ -1576,6 +1586,27 @@ SELECT d.doc_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
        coalesce(h.n_hits, 0) > 0 AS contaminated
 FROM documents d LEFT JOIN hits h USING (doc_id)
 ORDER BY d.doc_id
+""",
+        "ft_snippets": SQL_PRELUDE + f"""
+, top AS (
+  SELECT doc_id, round(score, 6) AS score FROM scores WHERE term = 'spark'
+  ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10
+),
+sn AS (
+  SELECT d.doc_id, {TOKS} AS tk,
+         list_aggregate(list_filter(list_transform(range(len({TOKS})),
+             i -> CASE WHEN {TOKS}[i + 1] = 'spark' THEN i END),
+             x -> x IS NOT NULL), 'min') AS first
+  FROM documents d JOIN top USING (doc_id)
+)
+SELECT top.doc_id, top.score,
+       CASE WHEN sn.first IS NOT NULL
+            THEN array_to_string(list_slice(sn.tk,
+                 greatest(sn.first - 3, 0) + 1,
+                 greatest(sn.first - 3, 0) + 7), ' ')
+            ELSE '' END AS snippet
+FROM top JOIN sn USING (doc_id)
+ORDER BY top.score DESC, top.doc_id ASC
 """,
         "pipeline_clean": f"""
 WITH eff AS (

@@ -181,3 +181,42 @@ def chars_key_classes(docs: DataFrame, limit: int = 20) -> DataFrame:
         .orderBy(F.desc("n_terms"), F.asc("chars_key"))
         .limit(limit)
     )
+
+
+def snippet_col(text, terms: list[str], before: int = 3,
+                after: int = 3) -> Column:
+    """Result snippet: the token window around the FIRST occurrence of
+    any query term in the tokenized text — ``before`` tokens of left
+    context, the hit, ``after`` tokens of right context, space-joined;
+    empty string when no term matches.  Pure Catalyst HOFs over the
+    token array (transform + filter + array_min + slice): codegen, no
+    shuffle, no Python — a projection that composes with any ranked
+    result (search-result highlighting, which the reference's HTTP
+    responses do not offer).  Window indices are token positions, so the
+    snippet is engine-independent (oracle-expressible)."""
+    toks = tokens_col(text)
+    qt = [t.lower() for t in terms]
+    hit_positions = F.filter(
+        F.transform(toks, lambda x, i: F.when(x.isin(qt), i)),
+        lambda v: v.isNotNull(),
+    )
+    first = F.array_min(hit_positions)  # 0-based
+    start = F.greatest(first - before, F.lit(0))  # 0-based window start
+    width = F.lit(before + 1 + after)
+    return F.when(
+        first.isNotNull(),
+        F.array_join(F.slice(toks, start + 1, width), " "),
+    ).otherwise(F.lit(""))
+
+
+def bm25_topk_snippets(docs: DataFrame, term: str, k: int = 10,
+                       before: int = 3, after: int = 3) -> DataFrame:
+    """Top-k BM25 for one term with a highlight snippet per hit —
+    the ranked scan plus one narrow snippet projection."""
+    ranked = bm25_topk(docs, term, k=k)
+    return (
+        ranked.join(docs.select("doc_id", "text"), "doc_id")
+        .select("doc_id", "score",
+                snippet_col("text", [term], before, after).alias("snippet"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )

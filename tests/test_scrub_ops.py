@@ -205,3 +205,30 @@ def test_clean_corpus_near_dup_stage(spark):
     with_nd = {r["doc_id"] for r in pipeline.clean_corpus(
         df, window=10, near_dup=True, jaccard_threshold=0.8).collect()}
     assert with_nd == {0, 2}     # cluster keeps the canonical doc only
+
+
+def test_snippet_col(spark):
+    from resin_spark import docops
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "a b c HIT d e f g"),          # mid-string window
+        (2, "HIT x y z"),                  # clipped left context
+        (3, "p q r s t u hit"),            # clipped right context
+        (4, "no match here"),
+        (5, None),
+        (6, "early hit and a later hit again"),  # FIRST occurrence wins
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["s"] for r in df.select(
+        "doc_id",
+        docops.snippet_col("text", ["hit"], before=2, after=2).alias("s"),
+    ).collect()}
+    assert got[1] == "b c hit d e"
+    # fixed-width window: clipping at the left edge extends rightward
+    assert got[2] == "hit x y z"
+    assert got[3] == "t u hit"
+    assert got[4] == "" and got[5] == ""
+    assert got[6] == "early hit and a later"  # FIRST occurrence anchors
+    p = _plan(df.select(docops.snippet_col("text", ["hit"])))
+    assert "Exchange" not in p and not _has_python_eval(p)
