@@ -75,6 +75,16 @@ def cmd_search(args) -> int:
                                 skip=args.skip)
     else:
         out = eng.search(json.loads(args.q), k=args.k, skip=args.skip)
+    if getattr(args, "snippet", False) and args.model == "bm25":
+        from resin_spark.docops import snippet_col
+        from resin_spark.query import parse_query, query_terms
+        from resin_spark.tokenizer import tokenize_py
+
+        toks = (tokenize_py(args.q) if args.phrase else
+                [t.token for t in query_terms(parse_query(json.loads(args.q)))
+                 if t.field == args.field])
+        if toks and "text" in out.columns:
+            out = out.withColumn("snippet", snippet_col("text", toks))
     if args.out:
         # S9 JSON result sink (SearchController serializes results as
         # JSON; here: a file/table sink instead of an HTTP body)
@@ -171,6 +181,9 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--snapshot", type=int, default=None,
                    help="pin reads to a previous compaction snapshot "
                         "(time travel; see build.list_snapshots)")
+    s.add_argument("--snippet", action="store_true",
+                   help="add a highlight snippet column (token window "
+                        "around the first matched text-field term)")
     s.add_argument("--phrase", action="store_true",
                    help="treat --q as a raw exact-phrase string (adjacent "
                         "tokens in order) instead of a JSON query")

@@ -176,3 +176,20 @@ def test_cli_resin_model_honors_out(spark, transcripts, tmp_path, capsys):
     ) == 0
     back = spark.read.json(out_path)
     assert back.count() > 0 and "score" in back.columns
+
+
+def test_cli_search_snippet_and_phrase(spark, transcripts, tmp_path, capsys):
+    src = str(tmp_path / "snip_in")
+    transcripts.write.mode("overwrite").parquet(src)
+    root = str(tmp_path / "snip_idx")
+    assert cli.main(["build", "--input", src, "--root", root]) == 0
+    capsys.readouterr()
+    assert cli.main(["search", "--root", root,
+                     "--q", '{"or": {"text": "banana"}}',
+                     "--snippet", "--k", "3"]) == 0
+    out = capsys.readouterr().out
+    assert "snippet" in out and "banana" in out
+    assert cli.main(["search", "--root", root, "--q", "term97 hotterm",
+                     "--phrase", "--snippet", "--k", "3"]) == 0
+    out = capsys.readouterr().out
+    assert "snippet" in out and "term97 hotterm" in out
