@@ -83,8 +83,8 @@ def cmd_search(args) -> int:
         toks = (tokenize_py(args.q) if args.phrase else
                 [t.token for t in query_terms(parse_query(json.loads(args.q)))
                  if t.field == args.field])
-        if toks and "text" in out.columns:
-            out = out.withColumn("snippet", snippet_col("text", toks))
+        if toks and args.field in out.columns:
+            out = out.withColumn("snippet", snippet_col(args.field, toks))
     if args.out:
         # S9 JSON result sink (SearchController serializes results as
         # JSON; here: a file/table sink instead of an HTTP body)
@@ -156,6 +156,23 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_compare(args) -> int:
+    """StringCompare analog (src/Sir.StringCompare/Program.cs:10-44):
+    char-bag cosine of two strings under the same normalization as the
+    resin scoring model — identical bags (anagrams like listen/silent)
+    score 1.0.  Driver-only: no Spark session."""
+    from resin_spark.resin_score import IDENTICAL_ANGLE, char_bag
+    from resin_spark.tokenizer import tokenize_py
+    from resin_spark.vectorspace import vec_cos_py
+
+    bags = [char_bag("".join(tokenize_py(s))) for s in (args.a, args.b)]
+    cos = (vec_cos_py(*bags) if all(bags) else
+           (1.0 if bags[0] == bags[1] else 0.0))
+    print(json.dumps({"cosine": round(cos, 6),
+                      "identical": cos >= IDENTICAL_ANGLE}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="resin_spark")
     p.add_argument("--master", default="local[*]")
@@ -222,7 +239,19 @@ def main(argv: list[str] | None = None) -> int:
     sv.add_argument("--host", default="127.0.0.1")
     sv.add_argument("--port", type=int, default=8080)
 
+    cp = sub.add_parser("compare",
+                        help="char-bag cosine of two strings "
+                             "(StringCompare analog)")
+    cp.add_argument("a")
+    cp.add_argument("b")
+
     args = p.parse_args(argv)
+    if args.cmd == "search" and args.model == "resin" and (
+            args.phrase or args.snippet):
+        # the resin branch takes precedence in cmd_search; silently
+        # ignoring these flags would return char-bag results the user
+        # didn't ask for
+        p.error("--phrase/--snippet require --model bm25")
     return {
         "package": cmd_package,
         "build": cmd_build,
@@ -232,6 +261,7 @@ def main(argv: list[str] | None = None) -> int:
         "truncate": cmd_truncate,
         "stream": cmd_stream,
         "serve": cmd_serve,
+        "compare": cmd_compare,
     }[args.cmd](args)
 
 

@@ -143,10 +143,18 @@ def topk_ngrams(
 def _epoch_micros(c) -> Column:
     """NTZ-safe exact epoch microseconds: whole seconds via wall-clock
     interval from the epoch (tz-independent, as streaming._epoch_seconds)
-    plus the microsecond fraction — matches DuckDB epoch_us() exactly."""
+    plus the microsecond fraction — matches DuckDB epoch_us() exactly.
+
+    Pre-epoch safe: the interval→long cast truncates toward zero while
+    the SSSSSS fraction is always the positive wall-clock field, so for
+    negative timestamps with a fraction the whole-second part must be
+    floored (one less) — 1969-12-31 23:59:59.500000 → -1 s + 500000 µs
+    = -500000, matching epoch_us()."""
     ntz = c.cast("timestamp_ntz")
-    secs = (ntz - F.expr("timestamp_ntz'1970-01-01 00:00:00'")).cast("long")
+    epoch = F.expr("timestamp_ntz'1970-01-01 00:00:00'")
+    secs = (ntz - epoch).cast("long")
     frac = F.date_format(ntz, "SSSSSS").cast("long")
+    secs = F.when((ntz < epoch) & (frac > 0), secs - 1).otherwise(secs)
     return secs * F.lit(1_000_000) + frac
 
 

@@ -18,6 +18,9 @@ WriteController.cs:31-53, HttpReader.cs:38-70, HttpWriter.cs:24-36):
   new index segment via api.append_docs (HttpWriter.cs:24-36; the
   reference deserializes the body into Documents and hands them to
   SessionFactory.Write).
+* ``POST /saveas`` — query params as GET /query plus ``target`` and
+  ``truncate``: materialize the query result as a new indexed collection
+  (SaveAsController.cs:31-44 -> SaveAsJob.cs:53-95 -> api.save_as).
 * ``GET /status?collection=c`` — doc count + per-field stats (the
   reference's status/HEAD surface).
 
@@ -131,6 +134,8 @@ class ResinHttpServer:
                         outer._handle_query_post(self, qs)
                     elif u.path == "/write":
                         outer._handle_write(self, qs)
+                    elif u.path == "/saveas":
+                        outer._handle_saveas(self, qs)
                     else:
                         self._send(404, {"error": f"no route {u.path}"})
                 except Exception as e:
@@ -170,12 +175,25 @@ class ResinHttpServer:
                        select=p["select"])
         if p["phrase"] and len(p["collections"]) == 1:
             eng = self.engine(p["collections"][0])
+            if p["total"]:
+                # one uncapped phrase search: total = its count, the
+                # page = a slice of the same ordered frame (persisted),
+                # so candidate fetch + adjacency verify run once — not
+                # once for the page and again for the count
+                full = eng.phrase_search(p["q"], field=p["fields"][0],
+                                         k=0, select=p["select"]).persist()
+                total = full.count()
+                out = full.offset(p["skip"]) if p["skip"] else full
+                if p["take"]:
+                    out = out.limit(p["take"])
+                rows = self._rows_json(out)
+                full.unpersist()
+                h._send(200, rows, {"X-TotalDocumentCount": total})
+                return
             out = eng.phrase_search(p["q"], field=p["fields"][0],
                                     k=p["take"], skip=p["skip"],
                                     select=p["select"])
-            total = (eng.phrase_search(p["q"], field=p["fields"][0],
-                                       k=0).count()
-                     if p["total"] else None)
+            total = None
         elif len(p["collections"]) == 1:
             eng = self.engine(p["collections"][0])
             out = eng.search(q, k=p["take"], skip=p["skip"],
@@ -245,6 +263,45 @@ class ResinHttpServer:
         if eng is not None:
             eng.refresh()
         h._send(201, res)
+
+    def _handle_saveas(self, h, qs):
+        """X11 over HTTP: materialize a query's results as a NEW indexed
+        collection (SaveAsController.cs:31-44 -> SaveAsJob.cs:53-95).
+        Same querystring contract as GET /query plus ``target`` (the new
+        collection name) and ``truncate=true`` (drop an existing target
+        first, SaveAsJob's _truncate).  ``take`` defaults to 0 = ALL
+        matches (a CTAS, not a page).  The reference's select fields
+        become the target's indexed fields when they name text fields."""
+        from resin_spark import build as B
+        from resin_spark.api import save_as, truncate
+        from resin_spark.query import parse_flat
+
+        p = parse_get_params(qs)
+        take = int((qs.get("take") or ["0"])[0])
+        target = (qs.get("target") or [None])[0]
+        trunc = (qs.get("truncate") or ["false"])[0].lower() == "true"
+        if not p["collections"] or not p["q"] or not target:
+            h._send(400, {"error": "collection, q and target are required"})
+            return
+        if target in p["collections"]:
+            h._send(400, {"error": "target must differ from the source"})
+            return
+        new_root = f"{self.root_dir}/{target}"
+        if trunc:
+            truncate(self.spark, new_root)
+        elif B._exists(self.spark, B.p_docs(new_root)):
+            h._send(409, {"error": f"collection {target} exists; "
+                                   "pass truncate=true to replace it"})
+            return
+        q = parse_flat(p["q"], p["fields"], op=p["op"], select=p["select"])
+        eng = self.engine(p["collections"][0])
+        fields = tuple(f for f in (p["select"] or ())
+                       if f in set(eng.fields)) or None
+        res = save_as(eng, q, new_root, k=take, fields=fields)
+        with self._lock:
+            # a cached engine for the target would read the old index
+            self._engines.pop(target, None)
+        h._send(201, {"target": target, **res})
 
     def _handle_status(self, h, qs):
         collection = (qs.get("collection") or [None])[0]

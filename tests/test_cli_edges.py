@@ -193,3 +193,48 @@ def test_cli_search_snippet_and_phrase(spark, transcripts, tmp_path, capsys):
                      "--phrase", "--snippet", "--k", "3"]) == 0
     out = capsys.readouterr().out
     assert "snippet" in out and "term97 hotterm" in out
+
+
+def test_cli_compare(capsys):
+    """StringCompare analog (Program.cs:10-44): identical char bags
+    (anagrams) score 1.0 and report identical; disjoint bags score low."""
+    assert cli.main(["compare", "listen", "silent"]) == 0
+    res = json.loads(capsys.readouterr().out.strip())
+    assert res["cosine"] == pytest.approx(1.0) and res["identical"]
+    assert cli.main(["compare", "Hello World", "world hello"]) == 0
+    res = json.loads(capsys.readouterr().out.strip())
+    assert res["cosine"] == pytest.approx(1.0) and res["identical"]
+    assert cli.main(["compare", "abc", "xyz"]) == 0
+    res = json.loads(capsys.readouterr().out.strip())
+    assert res["cosine"] == 0.0 and not res["identical"]
+    assert cli.main(["compare", "apple", "applw"]) == 0
+    res = json.loads(capsys.readouterr().out.strip())
+    assert 0.5 < res["cosine"] < 1.0
+
+
+def test_cli_phrase_rejects_resin_model(capsys):
+    """--phrase/--snippet with --model resin would be silently ignored;
+    the parser must reject the combination instead."""
+    with pytest.raises(SystemExit) as e:
+        cli.main(["search", "--root", "/tmp/x", "--q", "a b",
+                  "--phrase", "--model", "resin"])
+    assert e.value.code == 2
+    with pytest.raises(SystemExit) as e:
+        cli.main(["search", "--root", "/tmp/x", "--q", "a",
+                  "--snippet", "--model", "resin"])
+    assert e.value.code == 2
+
+
+def test_cli_snippet_follows_field(spark, transcripts, tmp_path, capsys):
+    """--snippet must highlight the SEARCHED field (--field), not
+    hardcode text: a phrase search over `role` snippets the role column."""
+    src = str(tmp_path / "snipf_in")
+    transcripts.write.mode("overwrite").parquet(src)
+    root = str(tmp_path / "snipf_idx")
+    assert cli.main(["build", "--input", src, "--root", root]) == 0
+    capsys.readouterr()
+    assert cli.main(["search", "--root", root, "--q", "user",
+                     "--phrase", "--field", "role", "--snippet",
+                     "--k", "2"]) == 0
+    out = capsys.readouterr().out
+    assert "snippet" in out and "user" in out

@@ -128,3 +128,32 @@ def test_event_analytics_ops(spark):
     props = {r["event_type"]: (r["n"], r["sum_val"])
              for r in D.props_agg(df).collect()}
     assert props == {"view": (3, 5), "click": (3, 9)}
+
+
+def test_epoch_micros_pre_epoch(spark):
+    """_epoch_micros must floor, not truncate toward zero: pre-1970
+    timestamps with a positive wall-clock fraction are negative micros
+    (1969-12-31 23:59:59.500000 -> -500000), matching epoch_us()."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from resin_spark.datasets import _epoch_micros
+
+    epoch = dt.datetime(1970, 1, 1)
+    vals = [
+        dt.datetime(1969, 12, 31, 23, 59, 59, 500_000),
+        dt.datetime(1969, 12, 31, 23, 59, 59),
+        dt.datetime(1969, 12, 31, 23, 59, 58, 250_000),
+        dt.datetime(1969, 12, 30, 1, 2, 3, 1),
+        epoch,
+        dt.datetime(1970, 1, 1, 0, 0, 0, 750_000),
+        dt.datetime(2024, 6, 1, 12, 0, 0, 123_456),
+    ]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                               "i long, ts timestamp")
+    got = {r["i"]: r["us"] for r in
+           df.select("i", _epoch_micros(F.col("ts")).alias("us")).collect()}
+    want = {i: (v - epoch) // dt.timedelta(microseconds=1)
+            for i, v in enumerate(vals)}
+    assert got == want

@@ -101,6 +101,46 @@ def test_status_and_write_roundtrip(http_server, spark, tmp_path,
             == [("convhttp01", 0)]
 
 
+def test_saveas_route(spark, tmp_path, transcripts):
+    """X11 over HTTP: POST /saveas materializes the query result as a
+    new collection whose /query answers equal a direct save_as twin
+    (SaveAsController.cs:31-44)."""
+    import urllib.error
+
+    from resin_spark.api import save_as
+    from resin_spark.build import build_index
+    from resin_spark.executor import SearchEngine
+    from resin_spark.http import ResinHttpServer
+
+    root_dir = str(tmp_path / "httpsa")
+    build_index(spark, transcripts.limit(60), f"{root_dir}/src",
+                write_doclens=True)
+    with ResinHttpServer(spark, root_dir) as srv:
+        res, _ = _post(srv, "/saveas", None, collection="src", q="banana",
+                       field="text", OR="", target="sub")
+        assert res["target"] == "sub"
+        save_as(SearchEngine(spark, f"{root_dir}/src"),
+                {"or": {"text": "banana"}}, str(tmp_path / "twin"))
+        twin = SearchEngine(spark, str(tmp_path / "twin"))
+        sub = SearchEngine(spark, f"{root_dir}/sub")
+        assert sub.doc_count() == twin.doc_count() > 0
+        got, _ = _get(srv, "/query", collection="sub", q="banana",
+                      field="text", OR="", take=5)
+        want = twin.topk({"or": {"text": "banana"}}, k=5)
+        assert [((r["conv_id"], r["turn_idx"]), r["score"]) for r in got] \
+            == [(d, pytest.approx(s)) for d, s in want]
+        # existing target: 409 without truncate, replaced with it
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(srv, "/saveas", None, collection="src", q="banana",
+                  field="text", OR="", target="sub")
+        assert e.value.code == 409
+        res2, _ = _post(srv, "/saveas", None, collection="src", q="banana",
+                        field="text", OR="", target="sub", truncate="true")
+        assert res2["target"] == "sub"
+        assert SearchEngine(spark, f"{root_dir}/sub").doc_count() \
+            == twin.doc_count()
+
+
 def test_error_routes(http_server):
     import urllib.error
 
