@@ -637,11 +637,29 @@ def _q_emb_neardup(spark, sf):
     )
 
 
+# planted boilerplate cluster for dedup_minhash_pairs: 24 near-identical
+# docs (3 variants of one template) that agree on every LSH band, so the
+# per-bucket cap + re-split + hub-pair path is exercised AND oracle-checked
+# — without it the (band, bucket) self-join would go O(c^2) on exactly
+# this shape at 100 TB
+_MINHASH_PLANT_N = 24
+_MINHASH_PLANT_TEXT = ("shared boilerplate template header row common "
+                       "across every page variant ")
+
+
 def _q_minhash_pairs(spark, sf):
     from resin_spark import dedup
 
+    planted = spark.range(_MINHASH_PLANT_N).select(
+        (F.col("id") + 900000).alias("doc_id"),
+        F.concat(F.lit(_MINHASH_PLANT_TEXT),
+                 (F.col("id") % 3).cast("string")).alias("text"),
+    )
+    docs = _docs(spark, sf).select("doc_id", "text").unionByName(planted)
     return (
-        dedup.minhash_candidates(_docs(spark, sf), n_hashes=16, bands=8)
+        dedup.minhash_candidates(docs, n_hashes=16, bands=8,
+                                 max_bucket=6, resplit_lanes=4,
+                                 resplit_depth=2)
         .orderBy("id_a", "id_b")
     )
 
@@ -951,10 +969,48 @@ _H1 = "('0x'||substr(md5({x}),1,8))::BIGINT"
 _H2 = "('0x'||substr(md5({x}),9,8))::BIGINT"
 
 
-def _minhash_sql(n_hashes: int = 16, bands: int = 8, k: int = 3) -> str:
+def _minhash_sql(n_hashes: int = 16, bands: int = 8, k: int = 3,
+                 max_bucket: int = 6, resplit_lanes: int = 4,
+                 resplit_depth: int = 2) -> str:
+    """Capped MinHash-LSH candidate pairs, mirroring
+    dedup.minhash_candidates exactly: base (band, bucket) keys over the
+    first n_hashes lanes, over-cap buckets re-split on fresh lanes
+    (k{d} = md5(k{d-1} | lane slice), keys nest), terminal over-cap
+    buckets emit hub (min-id, member) pairs.  Includes the planted
+    boilerplate cluster so the capped path has driver-green evidence."""
     rows = n_hashes // bands
+    total = n_hashes + resplit_lanes * resplit_depth
+    key_cols = [
+        f"md5(array_to_string(list_transform("
+        f"list_slice(sig, band * {rows} + 1, band * {rows} + {rows}), "
+        f"x -> x::VARCHAR), ',')) AS k0"
+    ]
+    for d in range(1, resplit_depth + 1):
+        lo = n_hashes + (d - 1) * resplit_lanes + 1
+        hi = n_hashes + d * resplit_lanes
+        key_cols.append(
+            f"md5(k{d - 1} || '|' || array_to_string(list_transform("
+            f"list_slice(sig, {lo}, {hi}), x -> x::VARCHAR), ',')) AS k{d}")
+    counts = ",\n         ".join(
+        f"count(*) OVER (PARTITION BY band, k{d}) AS c{d}"
+        for d in range(resplit_depth + 1))
+    depth_case = "CASE " + " ".join(
+        f"WHEN c{d} <= {max_bucket} THEN {d}"
+        for d in range(resplit_depth + 1)) + " ELSE NULL END"
+    key_case = "CASE " + " ".join(
+        f"WHEN c{d} <= {max_bucket} THEN k{d}"
+        for d in range(resplit_depth + 1)) + " ELSE NULL END"
+    term = " AND ".join(
+        f"c{d} > {max_bucket}" for d in range(resplit_depth + 1))
     return f"""
-WITH t AS (SELECT doc_id, {TOKS} AS t FROM documents),
+WITH docs0 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT 900000 + i AS doc_id,
+         '{_MINHASH_PLANT_TEXT}' || (i % 3)::VARCHAR AS text
+  FROM range({_MINHASH_PLANT_N}) r(i)
+),
+t AS (SELECT doc_id, {TOKS} AS t FROM docs0),
 sh AS (
   SELECT doc_id, CASE WHEN len(t) >= {k}
     THEN list_transform(range(1, len(t) - {k - 2}),
@@ -969,23 +1025,36 @@ lanes AS (
   FROM sh
 ),
 sig AS (
-  SELECT doc_id, list_transform(range(0, {n_hashes}), i ->
+  SELECT doc_id, list_transform(range(0, {total}), i ->
     coalesce(list_min(list_transform(range(1, len(h1) + 1),
                       j -> (h1[j] + i * h2[j]) % 2147483647)),
              2147483647)) AS sig
   FROM lanes
 ),
-banded AS (
+keys AS (
   SELECT doc_id, band,
-         md5(array_to_string(list_transform(
-             list_slice(sig, band * {rows} + 1, band * {rows} + {rows}),
-             x -> x::VARCHAR), ',')) AS bucket
+         {(',' + chr(10) + '         ').join(key_cols)}
   FROM sig, (SELECT unnest(range(0, {bands})) AS band) b
+),
+counted AS (
+  SELECT *, {counts},
+         min(doc_id) OVER (PARTITION BY band, k{resplit_depth}) AS hub
+  FROM keys
+),
+asg AS (
+  SELECT doc_id, band, {depth_case} AS depth, {key_case} AS keyf,
+         ({term}) AS term, hub
+  FROM counted
+),
+pairs AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM asg l JOIN asg r
+    ON l.band = r.band AND l.depth = r.depth AND l.keyf = r.keyf
+   AND l.doc_id < r.doc_id
+  UNION ALL
+  SELECT hub AS id_a, doc_id AS id_b FROM asg WHERE term AND doc_id > hub
 )
-SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-FROM banded a JOIN banded b
-  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-ORDER BY id_a, id_b
+SELECT DISTINCT id_a, id_b FROM pairs ORDER BY id_a, id_b
 """
 
 
@@ -1811,7 +1880,9 @@ reach(a, b) AS (
 SELECT a AS doc_id, min(b) AS component, (a = min(b)) AS keep
 FROM reach GROUP BY a ORDER BY doc_id
 """,
-        "dedup_minhash_pairs": _minhash_sql(n_hashes=16, bands=8, k=3),
+        "dedup_minhash_pairs": _minhash_sql(n_hashes=16, bands=8, k=3,
+                                            max_bucket=6, resplit_lanes=4,
+                                            resplit_depth=2),
         "dedup_simhash_pairs": _simhash_sql(max_hamming=10),
         "emb_ann_topk": _ann_sql(dim=64, n_planes=6, k=10),
         "emb_ann_bucketed": _ann_sql(dim=64, n_planes=6, k=10),

@@ -121,43 +121,72 @@ def minhash_signature_py(text: str, n_hashes: int = 32, k: int = 3) -> list[int]
 
 
 def minhash_candidates(df: DataFrame, key: str = "doc_id", text: str = "text",
-                       n_hashes: int = 32, bands: int = 8, k: int = 3) -> DataFrame:
+                       n_hashes: int = 32, bands: int = 8, k: int = 3,
+                       max_bucket: int | None = 2000,
+                       resplit_lanes: int = 4,
+                       resplit_depth: int = 2) -> DataFrame:
     """LSH banding: equal band-slices => candidate pair.  Returns distinct
     (id_a < id_b) pairs.  Shuffles on (band, bucket) only; the bucket key
-    is md5 of the band slice (bounded key size, oracle-expressible)."""
+    is md5 of the band slice (bounded key size, oracle-expressible).
+
+    Per-bucket work cap (the anti-O(c^2) treatment, shared with the
+    embedding near-dup family via similarity.capped_bucket_pairs): a
+    (band, bucket) with more than ``max_bucket`` members — templated
+    boilerplate clusters agree on EVERY band at 100 TB — is re-split on
+    ``resplit_lanes`` FRESH minhash lanes per level (lane indices past
+    the banded ``n_hashes``, so under-cap buckets are bit-identical to
+    the uncapped layout) for up to ``resplit_depth`` levels; each level
+    key is md5(parent_key | fresh-lane slice), so keys nest and bucket
+    members move down together.  A bucket still over the cap at the last
+    level (near-identical docs agree on every lane) emits HUB pairs —
+    (min id, member) — keeping the cluster connected for downstream
+    connected-components at O(c) cost instead of O(c^2), with nothing
+    dropped.  ``max_bucket=None`` disables the cap (the exact classic
+    banding join).  The capped semantics are mirrored in the DuckDB
+    oracle (`__spark_entry__._minhash_sql`)."""
     rows = n_hashes // bands
+    depth = resplit_depth if max_bucket is not None else 0
+    total = n_hashes + resplit_lanes * depth
     sig = df.select(F.col(key).alias("id"),
-                    minhash_signature_col(text, n_hashes, k).alias("sig"))
+                    minhash_signature_col(text, total, k).alias("sig"))
+
+    def band_struct(b):
+        fields = [b.alias("band")]
+        kd = F.md5(F.array_join(
+            F.transform(F.slice(F.col("sig"), b * rows + 1, rows),
+                        lambda x: x.cast("string")), ","))
+        fields.append(kd.alias("k0"))
+        for d in range(1, depth + 1):
+            lane = F.array_join(
+                F.transform(
+                    F.slice(F.col("sig"),
+                            n_hashes + (d - 1) * resplit_lanes + 1,
+                            resplit_lanes),
+                    lambda x: x.cast("string")), ",")
+            kd = F.md5(F.concat(kd, F.lit("|"), lane))
+            fields.append(kd.alias(f"k{d}"))
+        return F.struct(*fields)
+
     banded = sig.select(
         "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.md5(
-                        F.array_join(
-                            F.transform(
-                                F.slice(F.col("sig"), b * rows + 1, rows),
-                                lambda x: x.cast("string"),
-                            ),
-                            ",",
-                        )
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    a = banded.alias("a")
-    b = banded.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.bucket") == F.col("b.bucket"))
-               & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
-    return pairs
+        F.explode(F.transform(F.sequence(F.lit(0), F.lit(bands - 1)),
+                              band_struct)).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"),
+             *[F.col(f"bb.k{d}").alias(f"k{d}") for d in range(depth + 1)])
+
+    if max_bucket is None:
+        a = banded.alias("a")
+        b = banded.alias("b")
+        return (
+            a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.k0") == F.col("b.k0"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct()
+        )
+    from resin_spark.similarity import capped_bucket_pairs
+
+    return capped_bucket_pairs(banded, depth, max_bucket)
 
 
 def jaccard_pairs(df: DataFrame, key: str = "doc_id", text: str = "text",

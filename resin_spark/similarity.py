@@ -260,21 +260,25 @@ def _explode_banded_keys(b: DataFrame, bands: int, depth: int,
     )
 
 
-def _neardup_core(bbk: DataFrame, vdf: DataFrame, depth: int,
-                  threshold: float, max_bucket: int) -> DataFrame:
-    """Shared pair generation + exact-cosine verify.
+def capped_bucket_pairs(bbk: DataFrame, depth: int,
+                        max_bucket: int) -> DataFrame:
+    """Within-bucket candidate pairs with a hard per-bucket work cap —
+    the shared blocking core of every LSH family here (embedding
+    hyperplanes AND text MinHash).
 
-    ``bbk`` = (id, band, k0..k{depth}) banded keys; ``vdf`` = (id, v,
-    nrm).  Each row's FINAL depth is the first level whose bucket count
-    is <= max_bucket (keys nest, so all members of a bucket move down
-    together); full within-bucket pairs there.  Rows over the cap even
-    at the last level (a dense cluster whose members agree with every
-    split plane) emit HUB pairs — (min id of bucket, member) — keeping
-    the cluster connected at O(n) cost instead of silently dropping it.
-    Window counts/mins run over slim (id, band, key) rows only; the
-    embedding vectors join back by id for the verify step."""
+    ``bbk`` = (id, band, k0..k{depth}) banded keys, where k{d+1} is a
+    REFINEMENT of k{d} (keys nest, so all members of a bucket move down
+    together).  Each row's FINAL depth is the first level whose bucket
+    count is <= max_bucket; full within-bucket pairs there (work per
+    bucket <= max_bucket^2/2).  Rows over the cap even at the last level
+    (a dense cluster whose members agree with every split key) emit HUB
+    pairs — (min id of bucket, member) — keeping the cluster connected
+    at O(n) cost instead of silently dropping it.  Window counts/mins
+    run over slim (id, band, keys) rows only.  Returns distinct
+    (id_a < id_b) pairs."""
     from pyspark.sql.window import Window
 
+    key_type = dict(bbk.dtypes)["k0"]
     cc = bbk
     for d in range(depth + 1):
         w = Window.partitionBy("band", f"k{d}")
@@ -283,7 +287,7 @@ def _neardup_core(bbk: DataFrame, vdf: DataFrame, depth: int,
             cc = cc.withColumn("hub", F.min("id").over(w))
 
     depth_expr = F.lit(None).cast("int")
-    key_expr = F.lit(None).cast("long")
+    key_expr = F.lit(None).cast(key_type)
     for d in range(depth, -1, -1):
         under = F.col(f"c{d}") <= max_bucket
         depth_expr = F.when(under, F.lit(d)).otherwise(depth_expr)
@@ -312,7 +316,15 @@ def _neardup_core(bbk: DataFrame, vdf: DataFrame, depth: int,
         asg.filter(F.col("term") & (F.col("id") > F.col("hub")))
         .select(F.col("hub").alias("id_a"), F.col("id").alias("id_b"))
     )
-    cand = full.unionByName(hubp).dropDuplicates(["id_a", "id_b"])
+    return full.unionByName(hubp).dropDuplicates(["id_a", "id_b"])
+
+
+def _neardup_core(bbk: DataFrame, vdf: DataFrame, depth: int,
+                  threshold: float, max_bucket: int) -> DataFrame:
+    """Capped within-bucket pair generation (capped_bucket_pairs) +
+    exact-cosine verify over the ORIGINAL embeddings, joined back by id.
+    ``vdf`` = (id, v, nrm)."""
+    cand = capped_bucket_pairs(bbk, depth, max_bucket)
 
     a = vdf.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
                    F.col("nrm").alias("na"))

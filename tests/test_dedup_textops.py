@@ -571,3 +571,44 @@ def test_knn_join_matches_per_query_topk(spark):
         assert [g[1] for g in got_q] == [w["vec_id"] for w in want]
         for g, w in zip(got_q, want):
             assert abs(g[2] - w["c6"]) < 1e-9
+
+
+def test_minhash_bucket_cap_bounds_boilerplate(spark):
+    """A c-member boilerplate cluster agreeing on every band must not
+    emit O(c^2) candidate pairs: over-cap (band, bucket)s re-split on
+    fresh minhash lanes, terminal buckets emit hub pairs.  Pair count
+    stays O(c * cap), every cluster member stays CONNECTED (hub pairs,
+    nothing dropped), genuine near-dup pairs outside the cluster
+    survive, and under-cap behavior is bit-identical to uncapped."""
+    c, cap = 300, 10
+    tmpl = ("the common boilerplate template header shared across "
+            "every page of the site variant ")
+    rows = [(i, tmpl + str(i % 3)) for i in range(c)]
+    rows += [(1000, "completely different words entirely unrelated "
+                    "content goes here nothing shared"),
+             (1001, "alpha beta gamma delta epsilon zeta eta theta"),
+             (1002, "alpha beta gamma delta epsilon zeta eta iota")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             dedup.minhash_candidates(df, n_hashes=16, bands=8,
+                                      max_bucket=cap).collect()}
+    # uncapped would emit >= 3 * C(100,2) = 14850 within-variant pairs;
+    # capped must stay linear-ish in c (hub pairs + <= cap-sized fulls)
+    assert len(pairs) < 3 * c
+    assert (1001, 1002) in pairs
+    assert not any(1000 in p for p in pairs)
+    # connectivity: each variant group is one component (identical text
+    # => identical keys at every depth => shared terminal hub)
+    comp = dedup.components_py([r[0] for r in rows], list(pairs))
+    for v in range(3):
+        group = [i for i in range(c) if i % 3 == v]
+        assert len({comp[i] for i in group}) == 1
+    # under-cap buckets: capped result == the classic uncapped join
+    small = spark.createDataFrame(rows[295:], "doc_id long, text string")
+    capped = {(r["id_a"], r["id_b"]) for r in
+              dedup.minhash_candidates(small, n_hashes=16, bands=8,
+                                       max_bucket=2000).collect()}
+    uncapped = {(r["id_a"], r["id_b"]) for r in
+                dedup.minhash_candidates(small, n_hashes=16, bands=8,
+                                         max_bucket=None).collect()}
+    assert capped == uncapped
