@@ -233,9 +233,9 @@ def _engine(spark, sf):
 
         from resin_spark import api, build
 
-        # v3: 18-digit conv_id padding (lexicographic == numeric for any
-        # int64 doc_id), per-field stats rows
-        tag = hashlib.md5(f"{sf}|v3".encode()).hexdigest()[:8]
+        # v4: positional postings (phrase adjacency verified from the
+        # index, no docs scan); v3 was 18-digit conv_id padding
+        tag = hashlib.md5(f"{sf}|v4".encode()).hexdigest()[:8]
         root = f"/tmp/resin_entry_idx_{tag}/coll"
         fields = ("text", "lang", "source")
         # disk-persistent across processes: a completed segment-0 receipt
@@ -248,7 +248,8 @@ def _engine(spark, sf):
                 F.col("lang"),
                 F.col("source"),
             )
-            api.build_index(spark, t, root, fields=fields)
+            api.build_index(spark, t, root, fields=fields,
+                            positions=True)
         _ENGINE_CACHE[sf] = api.SearchEngine(spark, root, fields=fields)
     return _ENGINE_CACHE[sf]
 

@@ -67,9 +67,17 @@ def append_docs(spark: SparkSession, batch: DataFrame, root: str,
             return {"segment": seg, "skipped": True}
     conv_dim = B.extend_conv_dim(spark, batch, root)
     dl = B._exists(spark, B.p_doclens(root))
+    # appended segments must match the existing index's physical layout:
+    # a positional collection (positions_bin column) gets positional
+    # segments, so phrase_search never meets a mixed (null-column) index
+    try:
+        positions = "positions_bin" in B.read_postings(spark, root).columns
+    except Exception:
+        positions = False
     seg_df = batch.withColumn("segment", F.lit(seg))
     B._build_segment(spark, seg_df, conv_dim, root,
-                     fields or B.DEFAULT_FIELDS, seg, write_doclens=dl)
+                     fields or B.DEFAULT_FIELDS, seg, write_doclens=dl,
+                     positions=positions)
     return {"segment": seg}
 
 
@@ -132,4 +140,6 @@ def save_as(
         result,
         new_root,
         fields=out_fields,
+        # the derived collection inherits the source's physical layout
+        positions="positions_bin" in engine.postings().columns,
     )

@@ -78,6 +78,16 @@ POSTINGS_ID_FIELDS = [
 ] + POSTINGS_FIELDS[2:-1]
 POSTINGS_ID_SCHEMA = StructType(POSTINGS_ID_FIELDS)
 
+# Positional variant (build_index(..., positions=True)): one extra block
+# column holding varint position gaps laid out per posting in doc order
+# (tf == occurrence count, so runs need no length prefix — see
+# postings.decode_positions).  Everything else — doc_ids/tfs/dls layout,
+# stats, WAND metadata — is byte-identical to the positionless schema, so
+# every non-phrase query path reads positional indexes unchanged.
+POSITIONS_FIELD = StructField("positions_bin", BinaryType(), True)
+POSTINGS_POS_SCHEMA = StructType(POSTINGS_FIELDS + [POSITIONS_FIELD])
+POSTINGS_ID_POS_SCHEMA = StructType(POSTINGS_ID_FIELDS + [POSITIONS_FIELD])
+
 
 class _arrow_batch_rows:
     """Temporarily set BOTH Arrow input-batch bounds for a build action:
@@ -311,20 +321,37 @@ def p_metrics(root: str) -> str:
 
 
 # ---------------------------------------------------------------- stages
-def tokenized(docs: DataFrame, fields: tuple[str, ...]) -> DataFrame:
-    """(doc_id, field, term, dl) — one row per token occurrence, carrying
-    the per-(doc, field) token count ``dl`` computed NARROW (array size,
-    no shuffle).  Tokenization is the JVM regex path (tokens_col) so the
-    whole stage is codegen'd; the pandas-UDF twin is used (and
-    cross-checked) in tests.
+def tokenized(docs: DataFrame, fields: tuple[str, ...],
+              positions: bool = False) -> DataFrame:
+    """(doc_id, field, term, dl[, pos]) — one row per token occurrence,
+    carrying the per-(doc, field) token count ``dl`` computed NARROW
+    (array size, no shuffle).  Tokenization is the JVM regex path
+    (tokens_col) so the whole stage is codegen'd; the pandas-UDF twin is
+    used (and cross-checked) in tests.
 
     Carrying dl on the occurrence row is what lets the whole index build
     run in ONE shuffle: postings_blocks groups occurrences straight to
     (field, term, block) reducers and derives tf/dl there — no separate
-    per-(doc, term) counting shuffle, no doclens join."""
+    per-(doc, term) counting shuffle, no doclens join.
+
+    positions=True adds ``pos``: the token's 0-based index in the field's
+    token stream (posexplode over the SAME filtered token array, so the
+    build's positions agree with tokenize_py list indices exactly).  The
+    extra int costs ~10-15% shuffle bytes — opt-in, only phrase queries
+    read it."""
     parts = []
     for f in fields:
         toks = docs.select("doc_id", tokens_col(f).alias("toks"))
+        if positions:
+            parts.append(
+                toks.select(
+                    "doc_id",
+                    F.lit(f).alias("field"),
+                    F.size("toks").alias("dl"),
+                    F.posexplode("toks").alias("pos", "term"),
+                )
+            )
+            continue
         parts.append(
             toks.select(
                 "doc_id",
@@ -359,7 +386,7 @@ def doc_lengths(docs: DataFrame, fields: tuple[str, ...]) -> DataFrame:
     return out.filter(F.col("dl") > 0)
 
 
-def _encode_sorted_arrays(fa, ta, ba, D, T, L,
+def _encode_sorted_arrays(fa, ta, ba, D, T, L, P=None,
                           with_chars_key: bool = True) -> pd.DataFrame:
     """Encode a run of occurrence rows sorted by (field, term, block_id,
     doc_id) into one output row per (field, term, block) group.
@@ -421,6 +448,19 @@ def _encode_sorted_arrays(fa, ta, ba, D, T, L,
         "tfs_bin": varint_encode_segmented(TU.astype(np.uint64), u_off),
         "dls_bin": varint_encode_segmented(LU.astype(np.uint64), u_off),
     }
+    if P is not None:
+        # positional layout (postings.decode_positions): per doc-run the
+        # absolute first position, then deltas — the sort key ends in
+        # pos, so occurrences arrive position-sorted and gaps are >= 0.
+        # Only the unit-tf (occurrence-row) path carries positions: a
+        # pre-merged tf row has no per-occurrence granularity to encode.
+        assert T is None, "positions require unit-tf occurrence rows"
+        pg = np.empty_like(P)
+        pg[0] = P[0]
+        np.subtract(P[1:], P[:-1], out=pg[1:])
+        pg[starts] = P[starts]
+        out["positions_bin"] = varint_encode_segmented(
+            pg.astype(np.uint64), off)
     if with_chars_key:
         # ONE definition of the char-bag key, shared with the query
         # side (executor matches on chars_key_py of the query token)
@@ -429,7 +469,8 @@ def _encode_sorted_arrays(fa, ta, ba, D, T, L,
 
 
 def _encode_sorted_pdf(pdf: pd.DataFrame, unit_tf: bool = False,
-                       with_chars_key: bool = True) -> pd.DataFrame:
+                       with_chars_key: bool = True,
+                       positions: bool = False) -> pd.DataFrame:
     D = pdf["doc_id"].to_numpy(dtype=np.int64)
     return _encode_sorted_arrays(
         pdf["field"].to_numpy(),
@@ -438,11 +479,13 @@ def _encode_sorted_pdf(pdf: pd.DataFrame, unit_tf: bool = False,
         D,
         None if unit_tf else pdf["tf"].to_numpy(dtype=np.int64),
         pdf["dl"].to_numpy(dtype=np.int64),
+        P=pdf["pos"].to_numpy(dtype=np.int64) if positions else None,
         with_chars_key=with_chars_key,
     )
 
 
-def _merge_encode_iter(unit_tf: bool = False, with_chars_key: bool = True):
+def _merge_encode_iter(unit_tf: bool = False, with_chars_key: bool = True,
+                       positions: bool = False):
     """mapInPandas worker factory over a partition sorted by (field,
     term, doc_id) — block_id is a monotone function of doc_id, so the
     sort order equals (field, term, block_id, doc_id) and the block key
@@ -468,6 +511,7 @@ def _merge_encode_iter(unit_tf: bool = False, with_chars_key: bool = True):
                 carry_chunks[0] if len(carry_chunks) == 1
                 else pd.concat(carry_chunks, ignore_index=True),
                 unit_tf=unit_tf, with_chars_key=with_chars_key,
+                positions=positions,
             )
             carry_chunks, carry_key = [], None
             return out
@@ -501,7 +545,8 @@ def _merge_encode_iter(unit_tf: bool = False, with_chars_key: bool = True):
                 body = pdf.iloc[:cut]
             if len(body):
                 yield _encode_sorted_pdf(body, unit_tf=unit_tf,
-                                         with_chars_key=with_chars_key)
+                                         with_chars_key=with_chars_key,
+                                         positions=positions)
             carry_chunks = [pdf.iloc[cut:]]
             carry_key = last_key
         if carry_chunks:
@@ -536,7 +581,8 @@ decode_blocks_udf = F.pandas_udf(
 
 def postings_blocks(occurrences: DataFrame,
                     out_partitions: int | None = None,
-                    unit_tf: bool = False) -> DataFrame:
+                    unit_tf: bool = False,
+                    positions: bool = False) -> DataFrame:
     """(field, term, block_id) -> encoded posting block, in ONE shuffle.
 
     occurrences: (field, doc_id, term, dl[, tf]) — the build path feeds
@@ -559,19 +605,29 @@ def postings_blocks(occurrences: DataFrame,
     rows come out (field, term)-sorted per file, so Parquet min/max stats
     prune query-time term lookups."""
     spark = occurrences.sparkSession
+    if positions and not unit_tf:
+        raise ValueError("positional postings need unit-tf occurrence rows")
     n_parts = out_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions")
     )
     cols = ["field", "term", "doc_id", "dl"] + ([] if unit_tf else ["tf"])
+    sort_cols = ["field", "term", "doc_id"]
+    if positions:
+        # pos joins the shuffle payload AND the sort key tail: the gap
+        # codec needs each doc run position-sorted (gaps >= 0)
+        cols.append("pos")
+        sort_cols.append("pos")
     block_expr = F.shiftright(F.col("doc_id"), BLOCK_SHIFT)
     parted = (
         occurrences.select(*cols)
         .repartition(n_parts, F.col("field"), F.col("term"), block_expr)
         # block_id is monotone in doc_id, so this order IS
         # (field, term, block_id, doc_id)
-        .sortWithinPartitions("field", "term", "doc_id")
+        .sortWithinPartitions(*sort_cols)
     )
-    return parted.mapInPandas(_merge_encode_iter(unit_tf), schema=POSTINGS_SCHEMA)
+    return parted.mapInPandas(
+        _merge_encode_iter(unit_tf, positions=positions),
+        schema=POSTINGS_POS_SCHEMA if positions else POSTINGS_SCHEMA)
 
 
 def build_term_dim(occurrences: DataFrame) -> DataFrame:
@@ -603,7 +659,8 @@ def build_term_dim(occurrences: DataFrame) -> DataFrame:
 
 def postings_blocks_dicted(occurrences: DataFrame,
                            out_partitions: int | None = None,
-                           unit_tf: bool = False) -> DataFrame:
+                           unit_tf: bool = False,
+                           positions: bool = False) -> DataFrame:
     """postings_blocks with the term column dictionary-encoded to int64
     for the big shuffle (RESIN_SPARK_TERM_DICT=1; the 1->4 scaling
     experiment of BENCH.md).  Identical output table.
@@ -622,11 +679,17 @@ def postings_blocks_dicted(occurrences: DataFrame,
     either way.  The restore join is on blocks (orders of magnitude
     smaller than occurrences)."""
     spark = occurrences.sparkSession
+    if positions and not unit_tf:
+        raise ValueError("positional postings need unit-tf occurrence rows")
     n_parts = out_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions")
     )
     vocab = build_term_dim(occurrences).persist()
     cols = ["doc_id", "dl"] + ([] if unit_tf else ["tf"])
+    sort_cols = ["field", "term", "doc_id"]
+    if positions:
+        cols.append("pos")
+        sort_cols.append("pos")
     occ_id = (
         occurrences.join(F.broadcast(vocab.select("field", "term", "term_id")),
                          ["field", "term"])
@@ -638,16 +701,17 @@ def postings_blocks_dicted(occurrences: DataFrame,
         # term_id rank order == (field, term) order, so this sort keeps
         # the output (field, term)-sorted per file exactly like the
         # string path
-        .sortWithinPartitions("field", "term", "doc_id")
+        .sortWithinPartitions(*sort_cols)
     )
     enc = parted.mapInPandas(
-        _merge_encode_iter(unit_tf, with_chars_key=False),
-        schema=POSTINGS_ID_SCHEMA,
+        _merge_encode_iter(unit_tf, with_chars_key=False, positions=positions),
+        schema=POSTINGS_ID_POS_SCHEMA if positions else POSTINGS_ID_SCHEMA,
     )
+    out_fields = (POSTINGS_POS_SCHEMA if positions else POSTINGS_SCHEMA).fields
     restored = (
         enc.withColumnRenamed("term", "term_id")
         .join(F.broadcast(vocab), ["field", "term_id"])
-        .select(*[f.name for f in POSTINGS_FIELDS])
+        .select(*[f.name for f in out_fields])
     )
     return restored
 
@@ -677,6 +741,73 @@ def decoded_postings(postings: DataFrame) -> DataFrame:
         F.col("p.doc_id").alias("doc_id"),
         F.col("p.tf").alias("tf"),
         F.col("p.dl").alias("dl"),
+    )
+
+
+def _decode_occ_blocks(rows: pd.DataFrame) -> pd.DataFrame:
+    """Positional block decode: one output row per block, holding flat
+    per-OCCURRENCE arrays (doc repeated tf times, its dl alongside, one
+    position per occurrence) — exploding the zip reproduces the exact
+    occurrence rows the encoder consumed."""
+    from resin_spark.postings import (decode_counts, decode_doc_ids,
+                                      decode_positions)
+
+    out_docs, out_dls, out_pos = [], [], []
+    for db, tb, lb, pb in zip(rows["doc_ids_bin"], rows["tfs_bin"],
+                              rows["dls_bin"], rows["positions_bin"]):
+        tfs = decode_counts(bytes(tb))
+        docs = decode_doc_ids(bytes(db))
+        dls = decode_counts(bytes(lb))
+        out_docs.append(np.repeat(docs, tfs).tolist())
+        out_dls.append(np.repeat(dls, tfs).tolist())
+        out_pos.append(decode_positions(bytes(pb), tfs).tolist())
+    return pd.DataFrame({"doc_id": out_docs, "dl": out_dls, "pos": out_pos})
+
+
+DECODE_OCC_SCHEMA = StructType(
+    [
+        StructField("doc_id", ArrayType(LongType()), False),
+        StructField("dl", ArrayType(LongType()), False),
+        StructField("pos", ArrayType(LongType()), False),
+    ]
+)
+
+decode_occ_udf = F.pandas_udf(
+    lambda d, t, l, p: _decode_occ_blocks(
+        pd.DataFrame({"doc_ids_bin": d, "tfs_bin": t,
+                      "dls_bin": l, "positions_bin": p})),
+    returnType=DECODE_OCC_SCHEMA,
+)
+
+
+def decoded_occurrences(postings: DataFrame) -> DataFrame:
+    """Explode POSITIONAL blocks back to per-occurrence rows (field,
+    term, doc_id, dl, pos) — the exact shape `tokenized(positions=True)`
+    emits, so re-encoding with postings_blocks(unit_tf=True,
+    positions=True) round-trips (tf falls back out as the duplicate run
+    length).  Powers positional compaction and the distributed phrase
+    verify; only ever called on a term-filtered subset at query time."""
+    dec = postings.withColumn(
+        "dec", decode_occ_udf("doc_ids_bin", "tfs_bin", "dls_bin",
+                              "positions_bin")
+    )
+    z = dec.select(
+        "field",
+        "term",
+        F.explode(
+            F.arrays_zip(
+                F.col("dec.doc_id").alias("doc_id"),
+                F.col("dec.dl").alias("dl"),
+                F.col("dec.pos").alias("pos"),
+            )
+        ).alias("o"),
+    )
+    return z.select(
+        "field",
+        "term",
+        F.col("o.doc_id").alias("doc_id"),
+        F.col("o.dl").alias("dl"),
+        F.col("o.pos").alias("pos"),
     )
 
 
@@ -828,8 +959,14 @@ def build_index(
     out_partitions: int | None = None,
     cache_input: bool = False,
     write_doclens: bool = False,
+    positions: bool = False,
 ) -> dict:
     """Full index build.  Returns build stats (turns indexed, wall time).
+
+    positions=True writes the positional postings variant (token offsets
+    per occurrence, varint gaps): phrase queries then verify adjacency
+    from the index alone — no docs-table access — at ~10-15% extra
+    shuffle/storage.  All other query paths are unaffected either way.
 
     One conv_dim for the whole corpus (doc_ids independent of
     segmentation), then per segment: docs + doclens + stats + postings,
@@ -879,7 +1016,8 @@ def build_index(
         )
         n = _build_segment(spark, seg_df, conv_dim, root, fields, seg,
                            n_convs=n_convs, write_doclens=write_doclens,
-                           out_partitions=out_partitions)
+                           out_partitions=out_partitions,
+                           positions=positions)
         total_turns += n
     if cache_input:
         transcripts.unpersist()
@@ -898,6 +1036,7 @@ def _build_segment(
     n_convs: int | None = None,
     write_doclens: bool = False,
     out_partitions: int | None = None,
+    positions: bool = False,
 ) -> int:
     t0 = time.monotonic()
     docs = ids.with_doc_id(seg_df, conv_dim)
@@ -939,12 +1078,14 @@ def _build_segment(
     # postings: tokenize -> ONE shuffle to (field, term, block) reducers;
     # tf/dl/stats derive inside the streaming merge-encoder (unit_tf:
     # tf = duplicate run length, no tf column in the shuffle)
-    occ = tokenized(docs, fields)
+    occ = tokenized(docs, fields, positions=positions)
     if os.environ.get("RESIN_SPARK_TERM_DICT") == "1":
         blocks = postings_blocks_dicted(
-            occ, out_partitions=out_partitions, unit_tf=True)
+            occ, out_partitions=out_partitions, unit_tf=True,
+            positions=positions)
     else:
-        blocks = postings_blocks(occ, out_partitions=out_partitions, unit_tf=True)
+        blocks = postings_blocks(occ, out_partitions=out_partitions,
+                                 unit_tf=True, positions=positions)
     with _arrow_batch_rows(spark):
         blocks.write.mode("overwrite").option("compression", "zstd").parquet(
             f"{p_postings(root)}/segment={seg}"
@@ -1009,8 +1150,16 @@ def compact(spark: SparkSession, root: str) -> None:
     new_dirs = {}
 
     post = read_postings(spark, root)
-    dec = decoded_postings(post).drop("segment")
-    blocks = postings_blocks(dec)
+    if "positions_bin" in post.columns:
+        # positional index: decode to the occurrence rows the encoder
+        # originally consumed (doc repeated tf times, one pos each) and
+        # re-encode positional — tf falls back out as run length, so the
+        # merged blocks are bit-compatible with a fresh positional build
+        dec = decoded_occurrences(post)
+        blocks = postings_blocks(dec, unit_tf=True, positions=True)
+    else:
+        dec = decoded_postings(post).drop("segment")
+        blocks = postings_blocks(dec)
     # this action streams BLOCK rows through the decode UDF under the
     # same conf as the merge-encoder; the byte cap in _arrow_batch_rows
     # bounds the decode batches (a dense universal-term block row decodes

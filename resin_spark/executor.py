@@ -482,7 +482,15 @@ class SearchEngine:
         ``doc_id IN (...)`` point scan; verify cost ∝ candidates, never
         corpus size.  This is the classic verify-after-intersection
         phrase plan of positionless indexes.
-        """
+
+        On a POSITIONAL index (build_index(..., positions=True)) the
+        verify never touches text at all: adjacency is checked against
+        the varint position gaps stored in the posting blocks — the
+        driver-scored path intersects position sets in numpy over the
+        candidate blocks (pushed block_id IN scan), and the over-cap
+        distributed path reduces (doc, pos - phrase_index) cells with a
+        groupBy whose plan contains no docs-table scan (plan-gated).
+        Both are rank-identical to the text verify (parity-tested)."""
         from resin_spark.tokenizer import TOKEN_SEP_JAVA, tokenize_py
 
         toks = tokenize_py(phrase)
@@ -496,6 +504,26 @@ class SearchEngine:
         if len(toks) == 1:
             # single-token phrase == single-term query
             return self.search(q, k=k, skip=skip, select=select)
+        use_pos = "positions_bin" in self.postings().columns
+        pos_hits = self._driver_hits(q, 0, 0) if use_pos else None
+        if use_pos and pos_hits is not None:
+            matched = self._phrase_verify_positions_driver(
+                field, toks, pos_hits)
+            if matched is not None:
+                page = matched[skip:skip + k] if k else matched[skip:]
+                return self._fetch_hits(page, select)
+        if use_pos and pos_hits is None:
+            # over-cap: distributed positional verify — postings-only
+            match = self._phrase_match_docs_positional(field, toks)
+            if match is not None:
+                ranked = self._ranked(q, "surface")
+                out = docs.join(ranked.join(match, "doc_id"), "doc_id")
+                out = out.orderBy(F.desc("score"), F.asc("doc_id"))
+                if skip:
+                    out = out.offset(skip)
+                if k:
+                    out = out.limit(k)
+                return self._project_ranked(out, docs, select)
         # tokenizer-normalized field: exactly the token stream the index
         # saw, space-joined and space-delimited so containment can't
         # match across token boundaries
@@ -509,7 +537,8 @@ class SearchEngine:
         )
         needle = " " + " ".join(toks) + " "
         adjacent = F.instr(norm, needle) > 0
-        hits = self._driver_hits(q, 0, 0)
+        # the positional branch already paid for the driver hits — reuse
+        hits = pos_hits if use_pos else self._driver_hits(q, 0, 0)
         if (hits is not None and len(hits) <= self._PHRASE_POINT_MAX_CANDIDATES
                 and self._pa_dataset("docs") is not None):
             # embedded verify: candidate texts via one pyarrow point
@@ -556,6 +585,136 @@ class SearchEngine:
         if k:
             out = out.limit(k)
         return self._project_ranked(out, docs, select)
+
+    def _phrase_verify_positions_driver(
+            self, field: str, toks: list[str],
+            hits: list[tuple[int, float]]):
+        """Filter driver-computed AND hits to exact phrase matches using
+        the positional postings ALONE — the docs table is never read
+        (verify cost ∝ candidate postings, not text bytes: the 100 TB
+        phrase path).  Collects the phrase terms' blocks restricted to
+        the candidates' conv blocks (pushed ``block_id IN`` — same
+        pruning as _driver_and_hits), reconstructs per-doc position sets
+        (postings.decode_positions), and intersects them in numpy: doc
+        matches iff some start p has p+i in positions(toks[i]) for every
+        phrase index i — computed as a multiset count over packed
+        (dense_doc, pos - i) keys.  Returns surviving hits in ranking
+        order; None = fall back to the text verify (a matched block
+        without positions, or a packed-key overflow guard)."""
+        import numpy as np
+
+        from resin_spark.postings import (decode_counts, decode_doc_ids,
+                                          decode_positions)
+
+        if not hits:
+            return []
+        m = len(toks)
+        cand = np.array(sorted({int(d) for d, _ in hits}), dtype=np.int64)
+        blocks = np.unique(np.right_shift(cand, B.BLOCK_SHIFT))
+        blist = ([int(b) for b in blocks]
+                 if len(blocks) <= self._AND_BLOCK_IN_MAX else None)
+        uniq = sorted(set(toks))
+        cols = ("term", "doc_ids_bin", "tfs_bin", "positions_bin")
+        rows = None
+        if self._pa_dataset("postings") is not None:
+            import pyarrow.dataset as pads
+
+            pa_f = (pads.field("field") == field) & pads.field(
+                "term").isin(uniq)
+            if blist is not None:
+                pa_f = pa_f & pads.field("block_id").isin(blist)
+            try:
+                rows = self._pa_postings_rows(pa_f, cols)
+            except Exception:
+                # mixed-layout dataset whose discovered schema lacks the
+                # positions column — read through Spark (nulls surface
+                # there and trigger the text-verify fallback below)
+                rows = None
+        if rows is None:
+            pred = (F.col("field") == field) & F.col("term").isin(uniq)
+            if blist is not None:
+                pred = pred & F.col("block_id").isin(blist)
+            rows = self.postings().filter(pred).select(*cols).collect()
+        per_tok: dict[str, list] = {t: [] for t in uniq}
+        for r in rows:
+            if r["positions_bin"] is None:
+                return None  # mixed non-positional segment
+            per_tok[r["term"]].append(r)
+        dec: dict[str, tuple] = {}
+        max_pos = 0
+        for t in uniq:
+            if not per_tok[t]:
+                return []  # a phrase token absent from candidate blocks
+            dparts, pparts = [], []
+            for r in per_tok[t]:
+                tfs = decode_counts(bytes(r["tfs_bin"]))
+                dparts.append(
+                    np.repeat(decode_doc_ids(bytes(r["doc_ids_bin"])), tfs))
+                pparts.append(
+                    decode_positions(bytes(r["positions_bin"]), tfs))
+            drep = np.concatenate(dparts)
+            pos = np.concatenate(pparts)
+            # keep only candidate docs' occurrences (dense index = rank
+            # in the sorted candidate array, for compact packed keys)
+            j = np.searchsorted(cand, drep)
+            ok = (j < len(cand)) & (cand[np.minimum(j, len(cand) - 1)]
+                                    == drep)
+            dense, pos = j[ok], pos[ok]
+            dec[t] = (dense, pos)
+            if len(pos):
+                max_pos = max(max_pos, int(pos.max()))
+        stride = max_pos + m + 2
+        if len(cand) * stride > (1 << 62):
+            return None  # packed int64 keys would overflow
+        key_parts = []
+        for i, t in enumerate(toks):
+            dense, pos = dec[t]
+            sel = pos >= i
+            if not sel.any():
+                return []
+            key_parts.append(dense[sel] * np.int64(stride) + (pos[sel] - i))
+        # keys are unique within each part ((doc, pos) unique per term),
+        # so a key counted m times is covered by every phrase index
+        u, c = np.unique(np.concatenate(key_parts), return_counts=True)
+        good = u[c == m]
+        if not len(good):
+            return []
+        matched = set(cand[np.unique(good // stride)].tolist())
+        return [(d, s) for d, s in hits if int(d) in matched]
+
+    def _phrase_match_docs_positional(self, field: str,
+                                      toks: list[str]):
+        """Distinct doc_ids containing the phrase, computed ENTIRELY from
+        positional postings — the over-cap distributed phrase verify.
+        Decodes the phrase terms' blocks to occurrence rows (pushed
+        (field, term) scan), normalizes each occurrence to its implied
+        phrase-start cell (pos - phrase_index), and keeps (doc, start)
+        cells covered by all m phrase indexes.  The docs table appears
+        nowhere in this plan (plan-gated in tests); shuffle size ∝ the
+        phrase terms' occurrence counts, never corpus size.  Returns None
+        when a matched block lacks positions (mixed segments — caller
+        falls back to the text verify)."""
+        m = len(toks)
+        uniq = sorted(set(toks))
+        pred = (F.col("field") == field) & F.col("term").isin(uniq)
+        post = self.postings().filter(pred)
+        if post.filter(F.col("positions_bin").isNull()).limit(1).count():
+            return None
+        occ = B.decoded_occurrences(
+            post.select("field", "term", "doc_ids_bin", "tfs_bin",
+                        "dls_bin", "positions_bin"))
+        tok_idx = self.spark.createDataFrame(
+            [(t, i) for i, t in enumerate(toks)], "term string, ti int")
+        return (
+            occ.join(F.broadcast(tok_idx), "term")
+            .select("doc_id", (F.col("pos") - F.col("ti")).alias("pa"), "ti")
+            .filter(F.col("pa") >= 0)
+            .groupBy("doc_id", "pa")
+            .agg(F.count_distinct("ti").alias("nt"))
+            .filter(F.col("nt") == F.lit(m))
+            .select("doc_id")
+            .dropDuplicates(["doc_id"])
+        )
 
     # ------------------------------------------------------------ internals
     def _key_col(self, term_identity: str) -> str:

@@ -108,3 +108,25 @@ def encode_counts(counts: np.ndarray) -> bytes:
 
 def decode_counts(buf: bytes) -> np.ndarray:
     return varint_decode(buf).astype(np.int64)
+
+
+def decode_positions(buf: bytes, tfs: np.ndarray) -> np.ndarray:
+    """Flat absolute token positions for one posting block.
+
+    ``buf`` holds varint position GAPS laid out per posting in doc order:
+    each doc's run opens with its absolute first position, followed by
+    deltas to the next occurrences (positions are sorted within a doc, so
+    gaps are non-negative).  ``tfs`` (the block's per-posting term
+    frequencies) give the run lengths — tf IS the occurrence count, so
+    the positional layout needs no extra length prefix.  Returns a flat
+    int64 array of len sum(tfs); slice per doc with cumsum(tfs)."""
+    tfs = np.asarray(tfs, dtype=np.int64)
+    gaps = varint_decode(buf).astype(np.int64)
+    if not len(gaps):
+        return gaps
+    cs = np.cumsum(gaps, dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(tfs, dtype=np.int64)[:-1]))
+    # cumulative sum BEFORE each doc-run start — subtracting it resets
+    # the running sum so each run restarts at its absolute first position
+    base = cs[starts] - gaps[starts]
+    return cs - np.repeat(base, tfs)

@@ -63,8 +63,15 @@ def index_microbatch(root: str, fields: tuple[str, ...] = B.DEFAULT_FIELDS,
         conv_dim = extend_conv_dim(spark, batch, root)
         seg = segment_base + int(batch_id)
         seg_df = batch.withColumn("segment", F.lit(seg))
+        # like doclens: streamed segments keep the existing index's
+        # physical layout (positional collections stay positional)
+        try:
+            positions = "positions_bin" in B.read_postings(
+                spark, root).columns
+        except Exception:
+            positions = False
         B._build_segment(spark, seg_df, conv_dim, root, fields, seg,
-                         write_doclens=dl)
+                         write_doclens=dl, positions=positions)
 
     return _fn
 
