@@ -545,7 +545,6 @@ def main() -> None:
         "index_bytes_per_turn": round(postings_mb * 1e6 / corpus_turns, 1),
         "scaling_efficiency_1_to_4": round(eff, 3),
         "scaling_efficiency_trials": [round(x, 3) for x in eff_trials],
-        "build_local8_turns_per_sec": round(med8, 1) if med8 else None,
         "build_local8_trials": [round(x, 1) for x in tp8],
         "build_local32_trials": [round(x, 1) for x in tp32],
         "scaling_efficiency_8_to_32": (round(eff_8_32, 3)
@@ -579,6 +578,10 @@ def main() -> None:
         "ivf_recall_at_10": round(ivf_recall, 3),
         "ivf_scan_frac": round(ivf_scan_frac, 4),
     }
+    if med8:
+        # only meaningful when the 8->32 pair ran (hi == 32); at hi == 8
+        # the key would collide with the headline build_local8 entry
+        result["build_local8_turns_per_sec"] = round(med8, 1)
     if big is not None:
         result.update(big)
 
@@ -777,7 +780,7 @@ shuffle over matched postings (executor.py).
 
 Positional build (`positions=True`, varint position gaps in the posting
 blocks): **{r['build_positional_turns_per_sec']:.0f} turns/s** at
-local[{hi}] vs {r['build_local%d_turns_per_sec' % hi]:.0f} positionless
+local[{hi}] vs {b_hi['turns_per_sec']:.0f} positionless
 (same corpus, same session shape); postings size
 {r['postings_positional_mb']:.1f} MB vs {r['postings_mb']:.1f} MB.
 Phrase adjacency then verifies from the index alone (no docs read in the

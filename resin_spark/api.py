@@ -37,7 +37,8 @@ APPEND_SEGMENT_BASE = 2_000_000
 
 def append_docs(spark: SparkSession, batch: DataFrame, root: str,
                 fields: tuple[str, ...] | None = None,
-                segment: int | None = None) -> dict:
+                segment: int | None = None,
+                positions: bool | None = None) -> dict:
     """S8 write-session analog: append a batch of documents to an
     existing collection as ONE new index segment (the reference's HTTP
     POST write path runs WriteSession+IndexSession incrementally,
@@ -69,11 +70,15 @@ def append_docs(spark: SparkSession, batch: DataFrame, root: str,
     dl = B._exists(spark, B.p_doclens(root))
     # appended segments must match the existing index's physical layout:
     # a positional collection (positions_bin column) gets positional
-    # segments, so phrase_search never meets a mixed (null-column) index
-    try:
-        positions = "positions_bin" in B.read_postings(spark, root).columns
-    except Exception:
-        positions = False
+    # segments, so phrase_search never meets a mixed (null-column) index.
+    # positions=None is that auto-detect; an explicit value only matters
+    # for the FIRST write into a brand-new collection.
+    if positions is None:
+        try:
+            positions = ("positions_bin"
+                         in B.read_postings(spark, root).columns)
+        except Exception:
+            positions = False
     seg_df = batch.withColumn("segment", F.lit(seg))
     B._build_segment(spark, seg_df, conv_dim, root,
                      fields or B.DEFAULT_FIELDS, seg, write_doclens=dl,

@@ -51,7 +51,8 @@ def cmd_build(args) -> int:
     else:
         t = spark.read.parquet(args.input)
     fn = resume_build if args.resume else build_index
-    out = fn(spark, t, args.root, n_segments=args.segments)
+    out = fn(spark, t, args.root, n_segments=args.segments,
+             positions=args.positions)
     print(json.dumps(out))
     return 0
 
@@ -185,6 +186,9 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--root", required=True)
     b.add_argument("--segments", type=int, default=1)
     b.add_argument("--resume", action="store_true")
+    b.add_argument("--positions", action="store_true",
+                   help="positional postings: phrase queries verify "
+                        "adjacency from the index (no docs scan)")
     b.add_argument("--format", choices=["parquet", "wet"], default="parquet",
                    help="input format: parquet transcripts or CommonCrawl WET")
 

@@ -257,8 +257,13 @@ class ResinHttpServer:
             "conv_id string, turn_idx int, role string, text string, "
             "tool string, ts timestamp",
         )
+        # positions=true opts a BRAND-NEW collection into the positional
+        # layout (index-only phrase verify); existing collections keep
+        # their layout via append_docs' auto-detect
+        pos = (qs.get("positions") or [""])[0].lower() in ("1", "true")
         res = append_docs(self.spark, batch,
-                          f"{self.root_dir}/{collection}")
+                          f"{self.root_dir}/{collection}",
+                          positions=True if pos else None)
         eng = self._engines.get(collection)
         if eng is not None:
             eng.refresh()

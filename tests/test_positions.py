@@ -293,6 +293,64 @@ def test_positional_append_and_compact(spark, transcripts,
         want, "compacted")
 
 
+def test_http_write_positions_opt_in(spark, tmp_path):
+    """POST /write?positions=true bootstraps a NEW collection in the
+    positional layout; later writes without the flag keep it (append
+    auto-detect), and &phrase=true answers through the positional
+    verify."""
+    import json
+    import urllib.request
+
+    from resin_spark.http import ResinHttpServer
+
+    root_dir = str(tmp_path / "httppos")
+    docs = [{"conv_id": "cp0", "turn_idx": 0, "role": "user",
+             "text": "zebra quokka lemur", "tool": "",
+             "ts": "2025-06-01 10:00:00"},
+            {"conv_id": "cp1", "turn_idx": 0, "role": "user",
+             "text": "quokka zebra lemur", "tool": "",
+             "ts": "2025-06-01 11:00:00"}]
+    with ResinHttpServer(spark, root_dir) as srv:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/write?collection=cp"
+            "&positions=true",
+            data=json.dumps(docs).encode(), method="POST",
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req) as resp:
+            assert resp.status == 201
+        post = B.read_postings(spark, f"{root_dir}/cp")
+        assert "positions_bin" in post.columns
+        req2 = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/write?collection=cp",
+            data=json.dumps([dict(docs[0], conv_id="cp2")]).encode(),
+            method="POST", headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req2) as resp:
+            assert resp.status == 201
+        post = B.read_postings(spark, f"{root_dir}/cp")
+        assert not post.filter(F.col("positions_bin").isNull()).count()
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}/query?collection=cp"
+                "&q=zebra%20quokka&field=text&phrase=true&take=5") as resp:
+            rows = json.loads(resp.read())
+        assert [(r["conv_id"], r["turn_idx"]) for r in rows] == [("cp0", 0),
+                                                                 ("cp2", 0)]
+
+
+def test_cli_build_positions_flag(spark, transcripts, tmp_path, capsys):
+    from resin_spark import cli
+
+    src = str(tmp_path / "cliposin")
+    transcripts.limit(30).write.mode("overwrite").parquet(src)
+    root = str(tmp_path / "cliposidx")
+    assert cli.main(["build", "--input", src, "--root", root,
+                     "--positions"]) == 0
+    capsys.readouterr()
+    assert "positions_bin" in B.read_postings(spark, root).columns
+    assert cli.main(["search", "--root", root, "--q", "banana cantalope",
+                     "--phrase", "--k", "3"]) == 0
+    capsys.readouterr()
+
+
 def test_mixed_layout_segment_falls_back(spark, transcripts,
                                          tmp_path_factory, fixture_rows,
                                          oracle):
