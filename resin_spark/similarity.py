@@ -412,6 +412,7 @@ def write_bucketed_embeddings(df: DataFrame, root: str, n_planes: int = 8,
     (out.repartition("bucket")
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(os.path.join(root, "data")))
+    _evict_layout(root)
     meta = {"key": key, "vec": vec, "dim": d, "quant": QUANT,
             "n_planes": n_planes, "bands": bands, "band_planes": band_planes,
             "resplit_bits": resplit_bits, "resplit_depth": resplit_depth}
@@ -428,6 +429,39 @@ def read_bucketed_meta(root: str) -> dict:
 
     with open(os.path.join(root, "meta.json")) as fh:
         return json.load(fh)
+
+
+# Opened layout DataFrames, keyed by (session, data dir).  The FIRST
+# read of a bucket-partitioned layout pays a partition-directory listing
+# JOB — O(#bucket dirs) tasks once the dir count crosses Spark's
+# parallel-discovery threshold (32), i.e. ~every real layout — measured
+# at 570 listing tasks per query vs 4 pruned scan tasks on the bench
+# fixture.  Reusing the DataFrame reuses its cached FileIndex, so every
+# later query goes straight to the pruned scan: the same listing-reuse
+# SearchEngine applies to the docs/postings tables.
+_LAYOUT_DF_CACHE: dict = {}
+
+
+def _layout_df(spark, root: str):
+    import os
+
+    data_dir = os.path.join(root, "data")
+    key = (id(spark), data_dir)
+    df = _LAYOUT_DF_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(data_dir)
+        _LAYOUT_DF_CACHE[key] = df
+    return df
+
+
+def _evict_layout(root: str) -> None:
+    """Drop cached readers of a layout (called by the writers: an
+    overwritten layout must not serve a stale file listing)."""
+    import os
+
+    data_dir = os.path.join(root, "data")
+    for key in [k for k in _LAYOUT_DF_CACHE if k[1] == data_dir]:
+        del _LAYOUT_DF_CACHE[key]
 
 
 def ann_probes(qvec: list[float], planes: list[list[int]],
@@ -460,10 +494,7 @@ def ann_topk_bucketed(spark, root: str, qvec: list[float], k: int = 10,
     planes = int_planes(meta["dim"], max(meta["n_planes"],
                                          meta["band_planes"]))[:meta["n_planes"]]
     probes = ann_probes(qvec, planes, multiprobe, probe_hamming)
-    cand = (
-        spark.read.parquet(os.path.join(root, "data"))
-        .filter(F.col("bucket").isin(probes))
-    )
+    cand = _layout_df(spark, root).filter(F.col("bucket").isin(probes))
     qn = _math.sqrt(sum(float(x) * float(x) for x in qvec)) or 1.0
     cos = _dot(F.col(meta["vec"]), qvec) / (F.col("nrm") * F.lit(qn))
     return (
@@ -582,6 +613,7 @@ def write_ivf_embeddings(df: DataFrame, root: str, n_clusters: int = 16,
     (out.repartition("cl")
         .write.mode("overwrite").partitionBy("cl")
         .parquet(os.path.join(root, "data")))
+    _evict_layout(root)
     meta = {"key": key, "vec": vec, "dim": d, "n_clusters": len(cents),
             "centroids": cents}
     with open(os.path.join(root, "meta.json"), "w") as fh:
@@ -614,10 +646,7 @@ def ivf_topk(spark, root: str, qvec: list[float], k: int = 10,
 
     meta = read_ivf_meta(root)
     probes = ivf_probes(qvec, meta["centroids"], n_probes)
-    cand = (
-        spark.read.parquet(os.path.join(root, "data"))
-        .filter(F.col("cl").isin(probes))
-    )
+    cand = _layout_df(spark, root).filter(F.col("cl").isin(probes))
     qn = _math.sqrt(sum(float(x) * float(x) for x in qvec)) or 1.0
     cos = _dot(F.col(meta["vec"]), qvec) / (F.col("nrm") * F.lit(qn))
     return (
@@ -645,7 +674,7 @@ def cosine_neardup_pairs_bucketed(spark, root: str, threshold: float = 0.95,
     import os
 
     meta = read_bucketed_meta(root)
-    t = spark.read.parquet(os.path.join(root, "data"))
+    t = _layout_df(spark, root)
     bands, depth = meta["bands"], meta["resplit_depth"]
     b = t.select(
         F.col(meta["key"]).alias("id"),
