@@ -458,6 +458,10 @@ class SearchEngine:
     # broadcast join against the docs table (one full scan, still only
     # one job — an IN-list of 100k literals would bloat the plan instead)
     _PHRASE_POINT_MAX_CANDIDATES = 4096
+    # driver positional verify: max decoded positions (Σ tf over the
+    # phrase terms' collected blocks) — ~8 B each, a few hundred MB of
+    # transient numpy at the cap; beyond it the text verify runs instead
+    _PHRASE_POS_MAX_POSITIONS = 8_000_000
 
     def phrase_search(self, phrase: str, field: str = "text", k: int = 10,
                       skip: int = 0,
@@ -512,8 +516,10 @@ class SearchEngine:
             if matched is not None:
                 page = matched[skip:skip + k] if k else matched[skip:]
                 return self._fetch_hits(page, select)
-        if use_pos and pos_hits is None:
-            # over-cap: distributed positional verify — postings-only
+        if use_pos:
+            # over the driver caps (no driver hits, or the positional
+            # collect would not be driver-sized): distributed positional
+            # verify — still postings-only, no document text read
             match = self._phrase_match_docs_positional(field, toks)
             if match is not None:
                 ranked = self._ranked(q, "surface")
@@ -564,7 +570,14 @@ class SearchEngine:
             matched = [(d, s) for d, s in hits if int(d) in ok]
             page = matched[skip:skip + k] if k else matched[skip:]
             return self._fetch_hits(page, select)
-        if hits is not None:
+        if (hits is not None
+                and len(hits) <= self._PHRASE_POINT_MAX_CANDIDATES):
+            # point-sized candidate set: k-row literal + pushed doc_id IN
+            # scan.  BIGGER driver hit lists fall through to the ranked
+            # join below — shipping 100k+ (doc, score) tuples through a
+            # driver-local relation measured 28 s at sf0.1 ("banana
+            # cantalope": ~180k AND candidates), vs ~1 s for the
+            # distributed rescore + one docs scan.
             if not hits:
                 lit = self.spark.createDataFrame([], "doc_id long, score double")
             else:
@@ -572,7 +585,7 @@ class SearchEngine:
                     [(int(d), float(s)) for d, s in hits],
                     "doc_id long, score double")
             cand = docs
-            if hits and len(hits) <= self._PHRASE_POINT_MAX_CANDIDATES:
+            if hits:
                 cand = docs.filter(
                     F.col("doc_id").isin([int(d) for d, _ in hits]))
             out = cand.join(F.broadcast(lit), "doc_id").filter(adjacent)
@@ -614,7 +627,8 @@ class SearchEngine:
         blist = ([int(b) for b in blocks]
                  if len(blocks) <= self._AND_BLOCK_IN_MAX else None)
         uniq = sorted(set(toks))
-        cols = ("term", "doc_ids_bin", "tfs_bin", "positions_bin")
+        cols = ("term", "sum_tf", "doc_ids_bin", "tfs_bin",
+                "positions_bin")
         rows = None
         if self._pa_dataset("postings") is not None:
             import pyarrow.dataset as pads
@@ -636,10 +650,17 @@ class SearchEngine:
                 pred = pred & F.col("block_id").isin(blist)
             rows = self.postings().filter(pred).select(*cols).collect()
         per_tok: dict[str, list] = {t: [] for t in uniq}
+        total_pos = 0
         for r in rows:
             if r["positions_bin"] is None:
                 return None  # mixed non-positional segment
+            total_pos += r["sum_tf"]
             per_tok[r["term"]].append(r)
+        if total_pos > self._PHRASE_POS_MAX_POSITIONS:
+            # decoded occurrence volume (Σ tf, i.e. positions, can far
+            # exceed Σ df for a hot term in long docs) would not be
+            # driver-sized — hand the query to the text verify
+            return None
         dec: dict[str, tuple] = {}
         max_pos = 0
         for t in uniq:

@@ -293,6 +293,37 @@ def test_positional_append_and_compact(spark, transcripts,
         want, "compacted")
 
 
+def test_driver_pos_cap_falls_to_distributed(pos_engine, fixture_rows,
+                                             oracle):
+    """A positional collect over the driver volume cap must hand the
+    query to the distributed positional verify — same results."""
+    pos_engine._PHRASE_POS_MAX_POSITIONS = 0
+    try:
+        for phrase in ("banana cantalope", "term97 hotterm"):
+            want = _phrase_expected(fixture_rows, oracle, phrase)
+            got = _collect(pos_engine.phrase_search(
+                phrase, k=10, select=["conv_id", "turn_idx"]))
+            _assert_hits(got, want, phrase)
+    finally:
+        del pos_engine.__dict__["_PHRASE_POS_MAX_POSITIONS"]
+
+
+def test_text_verify_large_candidates_ranked_join(engine, fixture_rows,
+                                                  oracle):
+    """Positionless index, candidate set over the point cap: the text
+    verify must route through the distributed ranked join (no driver
+    literal of the whole hit list) and stay oracle-exact."""
+    engine._PHRASE_POINT_MAX_CANDIDATES = 0
+    try:
+        for phrase in ("banana cantalope", "the a"):
+            want = _phrase_expected(fixture_rows, oracle, phrase)
+            got = _collect(engine.phrase_search(
+                phrase, k=10, select=["conv_id", "turn_idx"]))
+            _assert_hits(got, want, phrase)
+    finally:
+        del engine.__dict__["_PHRASE_POINT_MAX_CANDIDATES"]
+
+
 def test_http_write_positions_opt_in(spark, tmp_path):
     """POST /write?positions=true bootstraps a NEW collection in the
     positional layout; later writes without the flag keep it (append
