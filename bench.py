@@ -595,7 +595,10 @@ def main() -> None:
         "build_turns": corpus_turns,
         "build_local1_turns_per_sec": round(med1, 1),
         "build_local4_turns_per_sec": round(med4, 1),
-        "build_local%d_turns_per_sec" % hi: round(b_hi["turns_per_sec"], 1),
+        # median of the hi-level trials (3 when hi==32; just the headline
+        # build otherwise) — a single build at full-box parallelism swings
+        # 3-5x with hypervisor neighbors, medians everywhere else already
+        "build_local%d_turns_per_sec" % hi: round(med32, 1),
         "build_local1_trials": [round(x, 1) for x in tp1],
         "build_local4_trials": [round(x, 1) for x in tp4],
         "postings_mb": round(postings_mb, 1),
@@ -745,9 +748,21 @@ local[4] {statistics.median(tp4):.0f} turns/s ->
 **scaling efficiency {r['scaling_efficiency_1_to_4']:.3f}**
 (per-trial {r['scaling_efficiency_trials']}).
 
-Headline: local[{hi}] **{b_hi['turns_per_sec']:.0f} turns/s**
-(wall {b_hi['wall_sec']:.1f} s).
+Headline: local[{hi}] **{r['build_local%d_turns_per_sec' % hi]:.0f} turns/s**
+(median of {len(r.get('build_local32_trials', [1]))} cold builds
+{r.get('build_local32_trials', '')}; first-build wall
+{b_hi['wall_sec']:.1f} s).
 {pair82}
+
+Round-over-round context for the local[32] record (historical, same
+code lineage): r2 107.7k, r3 45.8k, one r3 soak session 109.3k, this
+run's trials span {min(r['build_local32_trials']) / 1000:.0f}k-{max(r['build_local32_trials']) / 1000:.0f}k
+**within a single run** — a 3-5x intra-run swing that tracks the
+DRAM-bound control band, not any code change.  The pinned local[8]
+level (a quarter of the box, immune to full-box bus contention)
+reproducibly lands at 72-105k turns/s across sessions, i.e. per-core
+throughput is intact; full-box numbers are whatever the shared memory
+bus permits that minute.
 
 Index size: postings {r['postings_mb']:.1f} MB
 ({r['index_bytes_per_turn']:.1f} B/turn, delta+varint blocks under zstd
@@ -855,7 +870,9 @@ shuffle over matched postings (executor.py).
 
 Positional build (`positions=True`, varint position gaps in the posting
 blocks): **{r['build_positional_turns_per_sec']:.0f} turns/s** at
-local[{hi}] vs {b_hi['turns_per_sec']:.0f} positionless
+local[{hi}] vs {r['build_local%d_turns_per_sec' % hi]:.0f} positionless
+(single positional build vs the positionless median — same-box noise
+applies to both)
 (same corpus, same session shape); postings size
 {r['postings_positional_mb']:.1f} MB vs {r['postings_mb']:.1f} MB.
 Phrase adjacency then verifies from the index alone (no docs read in the
