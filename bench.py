@@ -322,6 +322,10 @@ def main() -> None:
             ts.append(time.monotonic() - t0)
         q_rep[name] = round(statistics.median(ts), 3)
         engine.clear_cache()
+    # q_hot is the only bench shape whose term clears the block-max
+    # single-term gate at sf0.1 (df ~600k): record how much of the hot
+    # term's postings the bound-ordered decode actually read
+    blockmax = getattr(engine, "last_blockmax_stats", None)
 
     # exact-phrase latency: index-only adjacency verify on the positional
     # index (decode_positions intersection — no docs read in the verify)
@@ -627,6 +631,10 @@ def main() -> None:
         "postings_positional_mb": round(postings_pos_mb, 1),
         "queries_phrase": q_phrase,
         "query_phrase_textverify_sec": q_phrase_textverify,
+        "q_hot_blockmax_blocks_scored": (blockmax or {}).get("blocks_scored"),
+        "q_hot_blockmax_blocks_total": (blockmax or {}).get("blocks_total"),
+        "q_hot_blockmax_postings_decoded": (
+            blockmax or {}).get("postings_decoded"),
         "wand_blocks_total": wand_stats["blocks_total"],
         "wand_blocks_scored": wand_stats["blocks_scored"],
         "wand_zipf_blocks_total": z_total,
@@ -722,6 +730,17 @@ def _write_bench_md(r: dict, b1, b4, b_hi, hi: int, sf: float) -> None:
             " NODES (each with its own memory bus), which is what the"
             " 1->4 pinned pair models; this pair bounds the worst case"
             " of scaling within one shared-memory box.\n"
+        )
+    bm_line = ""
+    if r.get("q_hot_blockmax_blocks_total"):
+        bm_line = (
+            "q_hot runs the block-max single-term path: "
+            f"{r['q_hot_blockmax_blocks_scored']}/"
+            f"{r['q_hot_blockmax_blocks_total']} posting blocks decoded "
+            f"({r['q_hot_blockmax_postings_decoded']:,} of the hot term's "
+            "postings) — the k-th hit's score beat every unread block's "
+            "(max_tf, min_dl) bound, so the rest of the term never left "
+            "parquet.\n"
         )
     # build the whole document BEFORE truncating the file: a formatting
     # error must raise with the old BENCH.md intact, not leave it empty
@@ -855,6 +874,7 @@ between trials).  REPEAT-query latency with the decoded-postings LRU warm
 (no clear between trials — the steady-state of a long-lived session):
 {''.join(f"{k} {v:.3f} s, " for k, v in r['queries_repeat_warm'].items())}
 avg **{r['query_latency_repeat_avg_sec']:.3f} s**.
+{bm_line}
 Reference claims "sub-second"
 phrase queries on a ~6M-doc corpus single-node (README.md:34).  These
 queries run the EMBEDDED driver-scored strategy (io_mode='auto', local

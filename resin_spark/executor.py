@@ -96,6 +96,7 @@ class SearchEngine:
         self._term_lru: "OrderedDict[tuple, tuple]" = OrderedDict()
         self._term_lru_postings = 0
         self.last_and_stats: dict = {}
+        self.last_blockmax_stats: "dict | None" = None
 
     _TERM_LRU_MAX_POSTINGS = 4_000_000  # ~100 MB decoded
 
@@ -790,6 +791,19 @@ class SearchEngine:
         df_by_key = [dfm.get(key, 0) for key in keys]
         if self._DRIVER_SCORE_MAX_POSTINGS < 0:
             return None  # driver scoring disabled (the test/strategy hook)
+        if (k and len(keys) == 1 and len(q.terms) == 1
+                and q.op in ("and", "or")
+                and q.and_q is None and q.or_q is None and q.not_q is None
+                and df_by_key[0] > self._BLOCKMAX_MIN_POSTINGS):
+            # hot single term: block-max early termination — read block
+            # STATS only, then decode blocks in upper-bound order until
+            # the k-th score beats every unread block's bound.  At 10^12
+            # turns a stopword's top-10 stops being a full postings
+            # decode: bytes read ∝ the few bound-competitive blocks.
+            hits = self._driver_single_term_blockmax(
+                keys[0], df_by_key[0], k, skip)
+            if hits is not None:
+                return hits
         if sum(df_by_key) > self._DRIVER_SCORE_MAX_POSTINGS:
             return self._driver_and_hits(q, keys, idx, df_by_key, k, skip)
         self._evict_persisted()
@@ -870,6 +884,141 @@ class SearchEngine:
         return self._score_mask_classes(q, observed, uids, mask_arr,
                                         uid_k, tf_k, dl_k, idx, df_by_key,
                                         k, skip)
+
+    # Block-max single-term top-k (the 100 TB hot-term path): a query
+    # for one hot term does not need the term's full postings — each
+    # posting block already carries (max_tf, min_dl) stats (build.py),
+    # which bound the best BM25 score any of its docs can reach (score
+    # is monotone up in tf, down in dl; float64 rounding is monotone, so
+    # the bound evaluated with the same op tree is a true upper bound).
+    # Blocks decode in (bound desc, block_id asc) order; iteration stops
+    # when the running k-th hit beats every unread block's bound.  The
+    # block_id-asc secondary order makes ties terminate too: block_id is
+    # monotone in doc_id (build.py:490), so once the k-th hit's score
+    # EQUALS the next bound and the next block's doc range lies past the
+    # k-th doc_id, no unread doc can displace it under the (score desc,
+    # doc_id asc) final order.  This is the Block-Max WAND bound of
+    # wand.py applied to the embedded driver path, where the single-term
+    # shape makes it exact with no pivot bookkeeping.  Engages above
+    # _BLOCKMAX_MIN_POSTINGS (below it the plain full decode is already
+    # ~ms); bails to the standard paths (None) if termination hasn't
+    # happened by _DRIVER_SCORE_MAX_POSTINGS decoded occurrences.
+    _BLOCKMAX_MIN_POSTINGS = 200_000
+    # chunk growth 2 -> 4 -> 8 -> ... -> cap: top-k usually terminates
+    # within the first chunks (one block holds thousands of postings), so
+    # starting small maximizes pruning; doubling keeps the worst case at
+    # O(log) fetches more than a single scan
+    _BLOCKMAX_CHUNK_START = 2
+    _BLOCKMAX_CHUNK_MAX = 64
+    # driver bound on the STATS read (3 int64 columns): ~24 B/row.  A
+    # term spanning more blocks than this (a stopword at ~10^11+ turns)
+    # falls back to the distributed fold / WAND path
+    _BLOCKMAX_MAX_STAT_ROWS = 8_000_000
+
+    def _driver_single_term_blockmax(
+            self, key: tuple[str, str], df: int, k: int,
+            skip: int) -> "list[tuple[int, float]] | None":
+        import numpy as np
+
+        from resin_spark.build import BLOCK_SHIFT
+        from resin_spark.postings import decode_counts, decode_doc_ids
+
+        f, tok = key
+        if self._pa_dataset("postings") is None:
+            return None  # stats-only read needs the embedded dataset
+        st = self.stats().get(f)
+        if st is None or not st["n_docs"]:
+            return []
+        import pyarrow.dataset as pads
+
+        self._evict_persisted()
+        term_f = (pads.field("field") == f) & (pads.field("term") == tok)
+        stat_tbl = self._pa_dataset("postings").to_table(
+            columns=["block_id", "max_tf", "min_dl"], filter=term_f)
+        if stat_tbl.num_rows == 0:
+            return []
+        if stat_tbl.num_rows > self._BLOCKMAX_MAX_STAT_ROWS:
+            return None
+        idf = self.idf(st["n_docs"], df)
+        avgdl = st["avgdl"]
+        one_minus_b = 1.0 - BB
+        # per-block bound inputs, merged over segment rows: a doc's
+        # merged tf is the SUM over segments (sum of per-row max_tf
+        # bounds it); merged dl is a max, and every row's min_dl bounds
+        # the block's smallest doc from below
+        sb = stat_tbl.column("block_id").to_numpy()
+        stf = stat_tbl.column("max_tf").to_numpy()
+        sdl = stat_tbl.column("min_dl").to_numpy()
+        bids, inv = np.unique(sb, return_inverse=True)
+        ub_tf = np.zeros(len(bids), dtype=np.int64)
+        np.add.at(ub_tf, inv, stf)
+        ub_dl = np.full(len(bids), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(ub_dl, inv, sdl)
+        # EXACT score op tree of _score_mask_classes, fed the bound inputs
+        ub = idf * (ub_tf / (ub_tf + K1 * (one_minus_b
+                                           + BB * ub_dl / avgdl)))
+        order = np.lexsort((bids, -ub))
+        need = skip + k
+        cand_ids = np.empty(0, dtype=np.int64)
+        cand_scores = np.empty(0, dtype=np.float64)
+        decoded = 0
+        scanned_blocks = 0
+        pos = 0
+        chunk_n = self._BLOCKMAX_CHUNK_START
+        while pos < len(order):
+            chunk = order[pos:pos + chunk_n]
+            pos += len(chunk)
+            chunk_n = min(chunk_n * 2, self._BLOCKMAX_CHUNK_MAX)
+            scanned_blocks += len(chunk)
+            chunk_bids = [int(bids[c]) for c in chunk]
+            rows = self._pa_postings_rows(
+                term_f & pads.field("block_id").isin(chunk_bids),
+                ("df_block", "doc_ids_bin", "tfs_bin", "dls_bin"))
+            if rows is None:
+                return None
+            decoded += sum(r["df_block"] for r in rows)
+            if rows:
+                ids = np.concatenate(
+                    [decode_doc_ids(bytes(r["doc_ids_bin"])) for r in rows])
+                tfs = np.concatenate(
+                    [decode_counts(bytes(r["tfs_bin"])) for r in rows])
+                dls = np.concatenate(
+                    [decode_counts(bytes(r["dls_bin"])) for r in rows])
+                uid, inv = np.unique(ids, return_inverse=True)
+                tf = np.zeros(len(uid), dtype=np.int64)
+                np.add.at(tf, inv, tfs)
+                dl = np.zeros(len(uid), dtype=np.int64)
+                np.maximum.at(dl, inv, dls)
+                w = idf * (tf / (tf + K1 * (one_minus_b
+                                            + BB * dl / avgdl)))
+                cand_ids = np.concatenate([cand_ids, uid])
+                cand_scores = np.concatenate([cand_scores, w])
+            if len(cand_ids) >= need:
+                top = np.lexsort((cand_ids, -cand_scores))[:need]
+                cand_ids, cand_scores = cand_ids[top], cand_scores[top]
+                kth_score = float(cand_scores[-1])
+                kth_doc = int(cand_ids[-1])
+                if pos >= len(order):
+                    break
+                nxt = order[pos]
+                nxt_ub = float(ub[nxt])
+                if nxt_ub < kth_score:
+                    break
+                if (nxt_ub == kth_score
+                        and int(bids[nxt]) > (kth_doc >> BLOCK_SHIFT)):
+                    # equal-bound blocks arrive in block_id order; all
+                    # remaining equal-bound docs have doc_id past the
+                    # k-th hit, and lower-bound blocks can't tie at all
+                    break
+            if decoded > self._DRIVER_SCORE_MAX_POSTINGS:
+                return None  # degenerate bounds: no early termination
+        self.last_blockmax_stats = {
+            "blocks_total": int(len(bids)),
+            "blocks_scored": int(scanned_blocks),
+            "postings_decoded": int(decoded),
+        }
+        top = np.lexsort((cand_ids, -cand_scores))[skip:need]
+        return [(int(cand_ids[t]), float(cand_scores[t])) for t in top]
 
     # AND-driven block pruning (the 100 TB intersection path): for a
     # pure-AND query whose RAREST matched term is driver-sized, the

@@ -66,7 +66,7 @@ def engine(spark, index_root):
 
 
 @pytest.fixture(params=["driver", "driver_sparkio", "distributed",
-                        "and_pruned"])
+                        "and_pruned", "blockmax"])
 def engine_s(request, engine):
     """The same engine under all physical strategies: 'driver' (the
     size-gated driver-scored fast path with embedded pyarrow IO — the
@@ -75,10 +75,18 @@ def engine_s(request, engine):
     (driver scoring disabled, the mask/join folds as before), and
     'and_pruned' (Σdf cap 0, so every pure-AND query runs the
     block-pruned intersection path and everything else falls back to the
-    distributed fold).  Rank-identity suites run under all four so no
-    strategy loses oracle coverage."""
+    distributed fold), and 'blockmax' (single-term threshold 0, so every
+    eligible single-positive-term query runs the block-max
+    early-termination decode).  Rank-identity suites run under all five
+    so no strategy loses oracle coverage."""
     cap = {"distributed": -1, "and_pruned": 0}.get(request.param)
-    if request.param == "driver_sparkio":
+    if request.param == "blockmax":
+        engine._BLOCKMAX_MIN_POSTINGS = 0
+        try:
+            yield engine
+        finally:
+            del engine.__dict__["_BLOCKMAX_MIN_POSTINGS"]
+    elif request.param == "driver_sparkio":
         prev = engine.io_mode
         engine.io_mode = "spark"
         try:

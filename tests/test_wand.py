@@ -81,6 +81,21 @@ def test_wand_prunes_on_zipf_corpus(spark, tmp_path):
     assert hot["postings_collected"] < 0.7 * hot_df, (st, hot_df)
     assert st[("text", "wandrare")]["blocks_filter"] is None  # seed
 
+    # block-max SINGLE-term driver path on the same corpus: blocks decode
+    # in upper-bound order (the bursty tf=6 early-conv blocks first) and
+    # iteration stops once the k-th hit beats every unread bound — hits
+    # identical to the full-decode engine, most blocks never read
+    bm = SearchEngine(spark, root, fields=("text",))
+    bm._BLOCKMAX_MIN_POSTINGS = 0
+    for skip in (0, 5):
+        got_bm = bm.topk({"or": {"text": "wandhot"}}, k=10, skip=skip)
+        want_bm = base.topk({"or": {"text": "wandhot"}}, k=10, skip=skip)
+        assert got_bm == want_bm, skip
+    stb = bm.last_blockmax_stats
+    assert stb is not None and stb["blocks_total"] >= 16
+    assert stb["blocks_scored"] < 0.5 * stb["blocks_total"], stb
+    assert stb["postings_decoded"] < hot_df
+
 
 def test_wand_disjunction_matches_python(spark, engine, oracle):
     """Full-disjunction semantics vs a brute-force python computation."""
