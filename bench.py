@@ -327,6 +327,35 @@ def main() -> None:
     # term's postings the bound-ordered decode actually read
     blockmax = getattr(engine, "last_blockmax_stats", None)
 
+    # flat-OR block-max (multi-term): (a) rare-anchor OR hot term — the
+    # order-sensitive OR candidate set is the anchor's postings, so only
+    # the anchor's conv blocks decode and the hot term's postings outside
+    # them never leave parquet; (b) hot anchor — bound-ordered decode
+    # early-terminates like the single-term path.  Exactness asserted
+    # in-run against a same-root engine with the path disabled.
+    or_blockmax: dict[str, dict] = {}
+    chk_eng = SearchEngine(spark, f"{tmp}/idx_hi")
+    chk_eng._BLOCKMAX_MIN_POSTINGS = 1 << 62  # full decode / std paths
+    for nm, qq in (("or_rare_anchor_hot",
+                    {"or": {"text": "banana hotterm"}}),
+                   ("or_hot_anchor",
+                    {"or": {"text": "hotterm banana"}}),
+                   # both terms over the AND seed cap at sf0.1: the
+                   # flat-AND block-max path (pre-change: distributed)
+                   ("and_hot_hot",
+                    {"and": {"text": "hotterm the"}})):
+        engine.last_blockmax_stats = None
+        assert engine.topk(qq, k=10) == chk_eng.topk(qq, k=10), nm
+        st = engine.last_blockmax_stats
+        ts = []
+        for _ in range(3):
+            t0 = time.monotonic()
+            engine.search(qq, k=10).collect()
+            ts.append(time.monotonic() - t0)
+            engine.clear_cache()
+        or_blockmax[nm] = dict(sec=round(statistics.median(ts), 3),
+                               **(st or {}))
+
     # exact-phrase latency: index-only adjacency verify on the positional
     # index (decode_positions intersection — no docs read in the verify)
     # vs the text-verify twin on the positionless index.  Two shapes: the
@@ -611,7 +640,9 @@ def main() -> None:
         "scaling_efficiency_1_to_4": round(eff, 3),
         "scaling_efficiency_trials": [round(x, 3) for x in eff_trials],
         "build_local8_trials": [round(x, 1) for x in tp8],
-        "build_local32_trials": [round(x, 1) for x in tp32],
+        # keyed by the actual hi level: at SPARK_GRAFT_CPUS != 32 these
+        # are local[hi] builds and must not masquerade as local[32]
+        "build_local%d_trials" % hi: [round(x, 1) for x in tp32],
         "scaling_efficiency_8_to_32": (round(eff_8_32, 3)
                                        if eff_8_32 else None),
         "control_cpu_efficiency_8_to_32": (round(ctl_cpu_8_32, 3)
@@ -635,6 +666,7 @@ def main() -> None:
         "q_hot_blockmax_blocks_total": (blockmax or {}).get("blocks_total"),
         "q_hot_blockmax_postings_decoded": (
             blockmax or {}).get("postings_decoded"),
+        "queries_or_blockmax": or_blockmax,
         "wand_blocks_total": wand_stats["blocks_total"],
         "wand_blocks_scored": wand_stats["blocks_scored"],
         "wand_zipf_blocks_total": z_total,
@@ -657,7 +689,29 @@ def main() -> None:
         result.update(big)
 
     _write_bench_md(result, b1_trials, b4_trials, b_hi, hi, sf)
-    print(json.dumps(result))
+    # full detail goes to a file; the printed line must stay COMPACT —
+    # the driver parses the final JSON line out of a bounded stdout tail,
+    # and the r4 full-result line (~3.6 KB) outgrew it and recorded
+    # "parsed": null.  Keep the contract keys + headline numbers only.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_detail.json"), "w") as fh:
+        json.dump(result, fh, indent=1)
+    compact_keys = [
+        "metric", "value", "unit", "sf", "queries", "build_turns",
+        "build_local1_turns_per_sec", "build_local4_turns_per_sec",
+        "build_local%d_turns_per_sec" % hi,
+        "scaling_efficiency_1_to_4", "scaling_efficiency_8_to_32",
+        "control_drambound_efficiency_8_to_32", "scaling_vs_dram_control",
+        "query_latency_avg_sec", "query_latency_repeat_avg_sec",
+        "queries_phrase", "index_bytes_per_turn",
+        "bigscale_build_turns_per_sec", "bigscale_query_latency_avg_sec",
+        "bigscale_query_latency_repeat_avg_sec",
+    ]
+    if med8:
+        compact_keys.insert(8, "build_local8_turns_per_sec")
+    compact = {k: result[k] for k in compact_keys if k in result}
+    compact["detail"] = "bench_detail.json"
+    print(json.dumps(compact))
 
 
 def _ann_big_md(r: dict) -> str:
@@ -701,9 +755,30 @@ reference bar at the reference's own corpus scale.
 """
 
 
+def _local32_context(r: dict, hi: int) -> str:
+    """Historical local[32] narrative — only meaningful when this run's
+    hi level actually IS 32 (a SPARK_GRAFT_CPUS=8 validation run must not
+    render local[8] numbers under a local[32] label)."""
+    if hi != 32:
+        return ""
+    t = r["build_local32_trials"]
+    return f"""
+Round-over-round context for the local[32] record (historical, same
+code lineage): r2 107.7k, r3 45.8k, one r3 soak session 109.3k, this
+run's trials span {min(t) / 1000:.0f}k-{max(t) / 1000:.0f}k
+**within a single run** — a 3-5x intra-run swing that tracks the
+DRAM-bound control band, not any code change.  The pinned local[8]
+level (a quarter of the box, immune to full-box bus contention)
+reproducibly lands at 72-105k turns/s across sessions, i.e. per-core
+throughput is intact; full-box numbers are whatever the shared memory
+bus permits that minute.
+"""
+
+
 def _write_bench_md(r: dict, b1, b4, b_hi, hi: int, sf: float) -> None:
     tp1 = [b["turns_per_sec"] for b in b1]
     tp4 = [b["turns_per_sec"] for b in b4]
+    hi_trials = r["build_local%d_trials" % hi]
     trial_rows = "".join(
         f"| {i} | {a:.0f} | {b:.0f} | {b / (4 * a):.3f} |\n"
         for i, (a, b) in enumerate(zip(tp1, tp4))
@@ -715,8 +790,8 @@ def _write_bench_md(r: dict, b1, b4, b_hi, hi: int, sf: float) -> None:
             " suggested levels: local[8] median"
             f" **{r['build_local8_turns_per_sec']:.0f} turns/s**"
             f" (trials {r['build_local8_trials']}), local[32] median"
-            f" **{statistics.median([x for x in r['build_local32_trials']]):.0f}**"
-            f" (trials {r['build_local32_trials']}) ->"
+            f" **{statistics.median([x for x in hi_trials]):.0f}**"
+            f" (trials {hi_trials}) ->"
             f" **efficiency {r['scaling_efficiency_8_to_32']:.3f}**."
             "  At N=8 the 4N level is the entire box, so this pair"
             " measures scale-up into full DRAM contention; matched"
@@ -742,6 +817,16 @@ def _write_bench_md(r: dict, b1, b4, b_hi, hi: int, sf: float) -> None:
             "(max_tf, min_dl) bound, so the rest of the term never left "
             "parquet.\n"
         )
+    ob = r.get("queries_or_blockmax") or {}
+    for nm, st in ob.items():
+        if st.get("blocks_total"):
+            bm_line += (
+                f"{nm}: {st['sec']} s — flat block-max decoded "
+                f"{st['blocks_scored']}/{st['blocks_total']} candidate "
+                f"blocks ({st['postings_decoded']:,} postings).\n"
+            )
+        elif "sec" in st:
+            bm_line += f"{nm}: {st['sec']} s (below the block-max gate).\n"
     # build the whole document BEFORE truncating the file: a formatting
     # error must raise with the old BENCH.md intact, not leave it empty
     md = (f"""# BENCH — measured results (bench.py)
@@ -768,21 +853,11 @@ local[4] {statistics.median(tp4):.0f} turns/s ->
 (per-trial {r['scaling_efficiency_trials']}).
 
 Headline: local[{hi}] **{r['build_local%d_turns_per_sec' % hi]:.0f} turns/s**
-(median of {len(r.get('build_local32_trials', [1]))} cold builds
-{r.get('build_local32_trials', '')}; first-build wall
+(median of {len(hi_trials)} cold builds
+{hi_trials}; first-build wall
 {b_hi['wall_sec']:.1f} s).
 {pair82}
-
-Round-over-round context for the local[32] record (historical, same
-code lineage): r2 107.7k, r3 45.8k, one r3 soak session 109.3k, this
-run's trials span {min(r['build_local32_trials']) / 1000:.0f}k-{max(r['build_local32_trials']) / 1000:.0f}k
-**within a single run** — a 3-5x intra-run swing that tracks the
-DRAM-bound control band, not any code change.  The pinned local[8]
-level (a quarter of the box, immune to full-box bus contention)
-reproducibly lands at 72-105k turns/s across sessions, i.e. per-core
-throughput is intact; full-box numbers are whatever the shared memory
-bus permits that minute.
-
+{_local32_context(r, hi)}
 Index size: postings {r['postings_mb']:.1f} MB
 ({r['index_bytes_per_turn']:.1f} B/turn, delta+varint blocks under zstd
 parquet; the reference stores raw 8 B/docID postings with no compression —

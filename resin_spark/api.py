@@ -71,14 +71,20 @@ def append_docs(spark: SparkSession, batch: DataFrame, root: str,
     # appended segments must match the existing index's physical layout:
     # a positional collection (positions_bin column) gets positional
     # segments, so phrase_search never meets a mixed (null-column) index.
-    # positions=None is that auto-detect; an explicit value only matters
-    # for the FIRST write into a brand-new collection.
-    if positions is None:
+    # An explicit ``positions`` value is honored ONLY for the first
+    # segment of a brand-new collection; once postings exist the detected
+    # layout always wins (even over an explicit flag) — one stray
+    # POST /write?positions=true must not write a positional segment into
+    # a positionless index, which would make every later auto-detect
+    # depend on which parquet footer Spark happens to sample.
+    detected: bool | None = None
+    if done or B._exists(spark, B.p_postings(root)):
         try:
-            positions = ("positions_bin"
-                         in B.read_postings(spark, root).columns)
+            detected = ("positions_bin"
+                        in B.read_postings(spark, root).columns)
         except Exception:
-            positions = False
+            detected = False
+    positions = bool(positions) if detected is None else detected
     seg_df = batch.withColumn("segment", F.lit(seg))
     B._build_segment(spark, seg_df, conv_dim, root,
                      fields or B.DEFAULT_FIELDS, seg, write_doclens=dl,

@@ -613,8 +613,10 @@ class SearchEngine:
         matches iff some start p has p+i in positions(toks[i]) for every
         phrase index i — computed as a multiset count over packed
         (dense_doc, pos - i) keys.  Returns surviving hits in ranking
-        order; None = fall back to the text verify (a matched block
-        without positions, or a packed-key overflow guard)."""
+        order; None = the caller falls through to the DISTRIBUTED
+        positional verify (_phrase_match_docs_positional) first, with
+        the text verify only as the final fallback (mixed-layout
+        segments, or a packed-key overflow there too)."""
         import numpy as np
 
         from resin_spark.postings import (decode_counts, decode_doc_ids,
@@ -660,7 +662,8 @@ class SearchEngine:
         if total_pos > self._PHRASE_POS_MAX_POSITIONS:
             # decoded occurrence volume (Σ tf, i.e. positions, can far
             # exceed Σ df for a hot term in long docs) would not be
-            # driver-sized — hand the query to the text verify
+            # driver-sized — hand the query to the distributed
+            # positional verify
             return None
         dec: dict[str, tuple] = {}
         max_pos = 0
@@ -804,8 +807,61 @@ class SearchEngine:
                 keys[0], df_by_key[0], k, skip)
             if hits is not None:
                 return hits
+        # a SIMPLE flat NOT clause (op "not", no nesting) rides the
+        # block-max paths for free: NOT is the LAST fold step
+        # (and → or → not, Reducer.cs:72-83), subtracts the UNION of its
+        # terms' postings and contributes no score — so negative terms
+        # decode ONLY inside candidate blocks and the positive bounds
+        # stay true upper bounds.  negs None = NOT shape ineligible.
+        negs: "list[tuple[str, str]] | None" = None
+        if q.and_q is None and q.or_q is None:
+            if q.not_q is None:
+                negs = []
+            elif (q.not_q.op == "not" and q.not_q.and_q is None
+                  and q.not_q.or_q is None and q.not_q.not_q is None):
+                negs = [(t.field, t.token) for t in q.not_q.terms]
+        if (k and q.terms and q.op in ("and", "or") and negs is not None
+                and sum(df_by_key) > self._BLOCKMAX_MIN_POSTINGS):
+            # flat OR: Resin's order-sensitive OR (Reducer.cs:86-149)
+            # admits docs only from the FIRST matched term, so the
+            # candidate set is anchor-postings-sized and the multi-term
+            # block-max decode applies (see _driver_flat_blockmax).
+            # A single matched term with a NOT clause takes the same
+            # route (the no-NOT single-term case kept its own path above)
+            matched = [t for t in q.terms
+                       if dfm.get((t.field, t.token), 0) > 0]
+            if (matched and all(t.op == "or" for t in matched[1:])
+                    and (len(matched) >= 2 or negs)):
+                hits = self._driver_flat_blockmax(matched, dfm, k, skip,
+                                                  "or", negs)
+                if hits is not None:
+                    return hits
         if sum(df_by_key) > self._DRIVER_SCORE_MAX_POSTINGS:
-            return self._driver_and_hits(q, keys, idx, df_by_key, k, skip)
+            hits = self._driver_and_hits(q, keys, idx, df_by_key, k, skip)
+            if hits is None and k and (self._pure_and(q)
+                                       or (negs and q.op == "and")):
+                # hot AND (optionally + flat NOT): every matched term
+                # over the seed cap (or the seed's pruned collect
+                # overflowed) — the intersection's candidate blocks
+                # still bound-order-decode like the OR.  Flattening the
+                # and_q clause chain is exact ONLY when every clause has
+                # >=1 MATCHED term: unmatched terms are skipped WITHIN a
+                # clause, but a sub-clause whose whole dict comes up
+                # empty (zero tokens, or all terms unmatched) merges an
+                # EMPTY dict under AND, which CLEARS the accumulator —
+                # that rule belongs to the distributed fold
+                # (x_empty_tokens_and / x_unmatched_subclause)
+                clauses, qq = [], q
+                while qq is not None:
+                    clauses.append(
+                        [t for t in qq.terms
+                         if dfm.get((t.field, t.token), 0) > 0])
+                    qq = qq.and_q
+                if all(clauses):
+                    hits = self._driver_flat_blockmax(
+                        [t for c in clauses for t in c], dfm, k, skip,
+                        "and", negs or [])
+            return hits
         self._evict_persisted()
         if not any(df_by_key):
             return []
@@ -914,6 +970,14 @@ class SearchEngine:
     # term spanning more blocks than this (a stopword at ~10^11+ turns)
     # falls back to the distributed fold / WAND path
     _BLOCKMAX_MAX_STAT_ROWS = 8_000_000
+    # decoded-occurrence bail for the block-max decodes: degenerate
+    # bounds (every block tied at the global max) mean no early
+    # termination, so stop decoding at the same driver-RAM volume the
+    # full-decode path allows and fall back to the standard strategies.
+    # Deliberately its OWN constant: _DRIVER_SCORE_MAX_POSTINGS is a
+    # path-gating knob (tests/strategies set it to 0 to force routes)
+    # and must not also zero the bail
+    _BLOCKMAX_DECODE_MAX = 2_000_000
 
     def _driver_single_term_blockmax(
             self, key: tuple[str, str], df: int, k: int,
@@ -1010,8 +1074,266 @@ class SearchEngine:
                     # remaining equal-bound docs have doc_id past the
                     # k-th hit, and lower-bound blocks can't tie at all
                     break
-            if decoded > self._DRIVER_SCORE_MAX_POSTINGS:
+            if decoded > self._BLOCKMAX_DECODE_MAX:
                 return None  # degenerate bounds: no early termination
+        self.last_blockmax_stats = {
+            "blocks_total": int(len(bids)),
+            "blocks_scored": int(scanned_blocks),
+            "postings_decoded": int(decoded),
+        }
+        top = np.lexsort((cand_ids, -cand_scores))[skip:need]
+        return [(int(cand_ids[t]), float(cand_scores[t])) for t in top]
+
+    def _driver_flat_blockmax(
+            self, matched: list, dfm: dict, k: int, skip: int,
+            mode: str = "or",
+            negs: "list[tuple[str, str]] | None" = None,
+    ) -> "list[tuple[int, float]] | None":
+        """Flat-OR / flat-AND top-k with block-max early termination
+        (the 100 TB multi-term paths).
+
+        OR: Resin's OR merge is order-sensitive (Reducer.cs:86-149) —
+        docs enter the result ONLY from the first matched term; later OR
+        terms boost scores of docs already present.  The candidate set
+        is therefore the ANCHOR term's postings.  AND: the candidate
+        set is the intersection, which lives only in blocks containing
+        EVERY matched term.  In both modes, because a posting block is a
+        doc_id RANGE (block_id = doc_id >> BLOCK_SHIFT, build.py) every
+        term's contribution to a candidate lives in the SAME block —
+        decoding a candidate block with all terms restricted to its
+        block_id yields each doc's EXACT final score, so Block-Max WAND
+        degenerates to ordered block decode with no pivot bookkeeping,
+        exactly like the single-term path.
+
+        Exactness of the bound: the scorer folds per-term weights
+        left-associatively in matched-term order, skipping terms a doc
+        lacks (_score_mask_classes S[mask] order, a subsequence of term
+        order).  The block bound is the SAME float64 fold fed per-term
+        (max_tf, min_dl) bound weights: IEEE rounding is monotone, so a
+        fold of bounds >= a fold of true weights in the same order, and
+        skipping a (non-negative) term only lowers the doc's fold.
+        Termination + tie rules are _driver_single_term_blockmax's:
+        stop when the k-th hit beats every unread bound; equal bounds
+        terminate once the next block's doc range lies past the k-th
+        doc_id (block decode order is bound desc, block_id asc).
+
+        AND additionally inherits the Reducer empty-accumulator quirk
+        guard of _driver_and_hits: a NONEMPTY candidate set proves every
+        fold prefix was nonempty (prefixes contain the final
+        intersection), so the full-mask class is the only output class;
+        if NO candidate survives, this returns None and the distributed
+        fold decides (an emptied prefix would re-insert the next term's
+        postings there).
+
+        ``negs`` (a simple flat NOT clause's keys) subtracts the UNION
+        of those terms' postings from the candidates BEFORE they enter
+        the top-k — exact because NOT is the last fold step
+        (Reducer.cs:72-83), removal contributes no score, and removing
+        docs can only shrink the candidate set (the k-th-hit stop rule
+        stays a true certificate).  Negative postings decode ONLY
+        within candidate blocks, so at 10^12 turns "rare NOT stopword"
+        reads the stopword's postings for the rare term's few blocks,
+        never its full list.
+
+        At 10^12 turns an OR anchored on a rare term reads only the
+        anchor's conv blocks (the OR twin of the AND block pruning
+        below); an OR or AND of stopwords reads O(k) bound-competitive
+        blocks instead of every term's full postings — the hot-AND case
+        the seed-capped pruned path refuses."""
+        import numpy as np
+
+        from resin_spark.build import BLOCK_SHIFT
+        from resin_spark.postings import decode_counts, decode_doc_ids
+
+        if self._pa_dataset("postings") is None:
+            return None
+        import pyarrow.dataset as pads
+
+        keys = [(t.field, t.token) for t in matched]
+        anchor = keys[0]
+        stats = self.stats()
+        idf_of, avgdl_of = {}, {}
+        for key in set(keys):
+            st = stats.get(key[0])
+            if st is None or not st["n_docs"]:
+                return None  # df > 0 but no field stats: inconsistent
+            idf_of[key] = self.idf(st["n_docs"], dfm[key])
+            avgdl_of[key] = st["avgdl"]
+        self._evict_persisted()
+        by_field: dict[str, set] = {}
+        for f, tok in keys:
+            by_field.setdefault(f, set()).add(tok)
+        term_f = self._pa_filter_terms(by_field)
+        # negative keys: unmatched terms are skipped (Reducer.cs:88-89);
+        # matched ones decode per-chunk, restricted to candidate blocks
+        negs = [kk for kk in (negs or []) if dfm.get(kk, 0) > 0]
+        neg_f = None
+        if negs:
+            neg_by_field: dict[str, set] = {}
+            for f, tok in negs:
+                neg_by_field.setdefault(f, set()).add(tok)
+            neg_f = self._pa_filter_terms(neg_by_field)
+            if neg_f is None:
+                return None
+        # per-key per-block bound inputs (merged over segment rows: tf
+        # sums, dl mins — same merge as the single-term path); one
+        # pushed stats read per key keeps the columns numeric (no 8M-row
+        # string materialization)
+        one_minus_b = 1.0 - BB
+        per_key: dict[tuple, tuple] = {}
+        stat_rows = 0
+        for key in set(keys):
+            kf = ((pads.field("field") == key[0])
+                  & (pads.field("term") == key[1]))
+            tbl = self._pa_dataset("postings").to_table(
+                columns=["block_id", "max_tf", "min_dl"], filter=kf)
+            stat_rows += tbl.num_rows
+            if stat_rows > self._BLOCKMAX_MAX_STAT_ROWS:
+                return None
+            bids_k, inv = np.unique(tbl.column("block_id").to_numpy(),
+                                    return_inverse=True)
+            ub_tf = np.zeros(len(bids_k), dtype=np.int64)
+            np.add.at(ub_tf, inv, tbl.column("max_tf").to_numpy())
+            ub_dl = np.full(len(bids_k), np.iinfo(np.int64).max,
+                            dtype=np.int64)
+            np.minimum.at(ub_dl, inv, tbl.column("min_dl").to_numpy())
+            w = idf_of[key] * (ub_tf / (ub_tf + K1 * (
+                one_minus_b + BB * ub_dl / avgdl_of[key])))
+            per_key[key] = (bids_k, w)
+        if mode == "and":
+            # candidate blocks: intersection — a block missing any
+            # matched term can't produce a conjunctive match
+            bids = per_key[anchor][0]
+            for key in set(keys[1:]):
+                bids = bids[np.isin(bids, per_key[key][0],
+                                    assume_unique=True)]
+            if not len(bids):
+                return None  # empty => Reducer quirk territory
+        else:
+            bids = per_key[anchor][0]
+            if not len(bids):
+                return []
+        # bound = the scorer's left-assoc fold in matched-term order over
+        # per-term block bounds, skipping blocks a term lacks
+        anchor_j = np.searchsorted(per_key[anchor][0], bids)
+        bound = per_key[anchor][1][anchor_j].copy()
+        for key in keys[1:]:
+            kb, kw = per_key[key]
+            if not len(kb):
+                continue
+            j = np.searchsorted(kb, bids)
+            ok = (j < len(kb)) & (kb[np.minimum(j, len(kb) - 1)] == bids)
+            bound[ok] = bound[ok] + kw[j[ok]]
+        order = np.lexsort((bids, -bound))
+        need = skip + k
+        cand_ids = np.empty(0, dtype=np.int64)
+        cand_scores = np.empty(0, dtype=np.float64)
+        decoded = 0
+        scanned_blocks = 0
+        pos_any = False
+        pos = 0
+        chunk_n = self._BLOCKMAX_CHUNK_START
+        cols = ("field", "term", "df_block", "doc_ids_bin", "tfs_bin",
+                "dls_bin")
+        while pos < len(order):
+            chunk = order[pos:pos + chunk_n]
+            pos += len(chunk)
+            chunk_n = min(chunk_n * 2, self._BLOCKMAX_CHUNK_MAX)
+            scanned_blocks += len(chunk)
+            chunk_bids = [int(bids[c]) for c in chunk]
+            rows = self._pa_postings_rows(
+                term_f & pads.field("block_id").isin(chunk_bids), cols)
+            if rows is None:
+                return None
+            decoded += sum(r["df_block"] for r in rows)
+            neg_union = None
+            if neg_f is not None:
+                nrows = self._pa_postings_rows(
+                    neg_f & pads.field("block_id").isin(chunk_bids),
+                    ("df_block", "doc_ids_bin"))
+                if nrows is None:
+                    return None
+                decoded += sum(r["df_block"] for r in nrows)
+                if nrows:
+                    neg_union = np.unique(np.concatenate(
+                        [decode_doc_ids(bytes(r["doc_ids_bin"]))
+                         for r in nrows]))
+            bufs: dict[tuple, list] = {}
+            for r in rows:
+                bufs.setdefault((r["field"], r["term"]), []).append(r)
+            dec: dict[tuple, tuple] = {}
+            for key, blist in bufs.items():
+                ids = np.concatenate(
+                    [decode_doc_ids(bytes(r["doc_ids_bin"]))
+                     for r in blist])
+                tfs = np.concatenate(
+                    [decode_counts(bytes(r["tfs_bin"])) for r in blist])
+                dls = np.concatenate(
+                    [decode_counts(bytes(r["dls_bin"])) for r in blist])
+                uid, inv = np.unique(ids, return_inverse=True)
+                tf = np.zeros(len(uid), dtype=np.int64)
+                np.add.at(tf, inv, tfs)
+                dl = np.zeros(len(uid), dtype=np.int64)
+                np.maximum.at(dl, inv, dls)
+                w = idf_of[key] * (tf / (tf + K1 * (
+                    one_minus_b + BB * dl / avgdl_of[key])))
+                dec[key] = (uid, w)
+            if anchor in dec:
+                uid_a = dec[anchor][0]
+                if mode == "and":
+                    # chunk candidates: docs present in EVERY key
+                    for key in set(keys[1:]):
+                        got = dec.get(key)
+                        if got is None:
+                            uid_a = uid_a[:0]
+                            break
+                        uid_a = uid_a[np.isin(uid_a, got[0],
+                                              assume_unique=True)]
+                if len(uid_a):
+                    # pre-NOT: a nonempty positive candidate set proves
+                    # every AND fold prefix was nonempty (see below)
+                    pos_any = True
+                if neg_union is not None and len(uid_a):
+                    uid_a = uid_a[~np.isin(uid_a, neg_union,
+                                           assume_unique=True)]
+                if len(uid_a):
+                    j0 = np.searchsorted(dec[anchor][0], uid_a)
+                    score = dec[anchor][1][j0].copy()
+                    for key in keys[1:]:
+                        got = dec.get(key)
+                        if got is None:
+                            continue
+                        uid_t, w_t = got
+                        j = np.searchsorted(uid_t, uid_a)
+                        ok = (j < len(uid_t)) & (
+                            uid_t[np.minimum(j, len(uid_t) - 1)] == uid_a)
+                        score[ok] = score[ok] + w_t[j[ok]]
+                    cand_ids = np.concatenate([cand_ids, uid_a])
+                    cand_scores = np.concatenate([cand_scores, score])
+            if len(cand_ids) >= need:
+                top = np.lexsort((cand_ids, -cand_scores))[:need]
+                cand_ids, cand_scores = cand_ids[top], cand_scores[top]
+                kth_score = float(cand_scores[-1])
+                kth_doc = int(cand_ids[-1])
+                if pos >= len(order):
+                    break
+                nxt = order[pos]
+                nxt_ub = float(bound[nxt])
+                if nxt_ub < kth_score:
+                    break
+                if (nxt_ub == kth_score
+                        and int(bids[nxt]) > (kth_doc >> BLOCK_SHIFT)):
+                    break
+            if decoded > self._BLOCKMAX_DECODE_MAX:
+                return None  # degenerate bounds: no early termination
+        if mode == "and" and not len(cand_ids) and not pos_any:
+            # empty POSITIVE intersection: a fold prefix may have been
+            # empty, and an empty accumulator re-inserts the next term's
+            # postings (Reducer.cs:24-39) — the distributed fold decides.
+            # pos_any (a nonempty pre-NOT candidate set somewhere) proves
+            # every prefix was nonempty, so if NOT then emptied it the
+            # true result IS empty and falls through to the final take
+            return None
         self.last_blockmax_stats = {
             "blocks_total": int(len(bids)),
             "blocks_scored": int(scanned_blocks),

@@ -440,23 +440,37 @@ def read_bucketed_meta(root: str) -> dict:
 # later query goes straight to the pruned scan: the same listing-reuse
 # SearchEngine applies to the docs/postings tables.
 _LAYOUT_DF_CACHE: dict = {}
+_LAYOUT_DF_CACHE_MAX = 64  # FIFO-bounded: a long-lived server scanning
+# many layouts must not pin every FileIndex it ever opened
 
 
 def _layout_df(spark, root: str):
     import os
 
     data_dir = os.path.join(root, "data")
-    key = (id(spark), data_dir)
+    # keyed on applicationId, not id(spark): id() values are reused after
+    # a stopped session is garbage-collected, which could serve a new
+    # session a DataFrame bound to the dead one
+    key = (spark.sparkContext.applicationId, data_dir)
     df = _LAYOUT_DF_CACHE.get(key)
     if df is None:
         df = spark.read.parquet(data_dir)
+        if len(_LAYOUT_DF_CACHE) >= _LAYOUT_DF_CACHE_MAX:
+            _LAYOUT_DF_CACHE.pop(next(iter(_LAYOUT_DF_CACHE)))
         _LAYOUT_DF_CACHE[key] = df
     return df
 
 
 def _evict_layout(root: str) -> None:
     """Drop cached readers of a layout (called by the writers: an
-    overwritten layout must not serve a stale file listing)."""
+    overwritten layout must not serve a stale file listing).
+
+    Limitation: eviction is in-process only — a layout overwritten by a
+    DIFFERENT process (or another Spark session on the same path) is not
+    seen here, and this process keeps serving the old file listing until
+    it rewrites the layout itself or restarts.  Same contract as Spark's
+    own FileIndex caching of an unmanaged path; cross-process writers
+    coordinate through the engine's pointer-file snapshots instead."""
     import os
 
     data_dir = os.path.join(root, "data")

@@ -66,7 +66,7 @@ def engine(spark, index_root):
 
 
 @pytest.fixture(params=["driver", "driver_sparkio", "distributed",
-                        "and_pruned", "blockmax"])
+                        "and_pruned", "blockmax", "and_blockmax"])
 def engine_s(request, engine):
     """The same engine under all physical strategies: 'driver' (the
     size-gated driver-scored fast path with embedded pyarrow IO — the
@@ -75,10 +75,12 @@ def engine_s(request, engine):
     (driver scoring disabled, the mask/join folds as before), and
     'and_pruned' (Σdf cap 0, so every pure-AND query runs the
     block-pruned intersection path and everything else falls back to the
-    distributed fold), and 'blockmax' (single-term threshold 0, so every
-    eligible single-positive-term query runs the block-max
-    early-termination decode).  Rank-identity suites run under all five
-    so no strategy loses oracle coverage."""
+    distributed fold), 'blockmax' (single-term threshold 0, so every
+    eligible single-positive-term or flat-OR query runs the block-max
+    early-termination decode), and 'and_blockmax' (Σdf cap 0 + seed cap
+    0, so every pure-AND query runs the flat-AND block-max decode).
+    Rank-identity suites run under all six so no strategy loses oracle
+    coverage."""
     cap = {"distributed": -1, "and_pruned": 0}.get(request.param)
     if request.param == "blockmax":
         engine._BLOCKMAX_MIN_POSTINGS = 0
@@ -86,6 +88,14 @@ def engine_s(request, engine):
             yield engine
         finally:
             del engine.__dict__["_BLOCKMAX_MIN_POSTINGS"]
+    elif request.param == "and_blockmax":
+        engine._DRIVER_SCORE_MAX_POSTINGS = 0
+        engine._AND_SEED_MAX_POSTINGS = 0
+        try:
+            yield engine
+        finally:
+            del engine.__dict__["_DRIVER_SCORE_MAX_POSTINGS"]
+            del engine.__dict__["_AND_SEED_MAX_POSTINGS"]
     elif request.param == "driver_sparkio":
         prev = engine.io_mode
         engine.io_mode = "spark"

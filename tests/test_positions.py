@@ -402,3 +402,25 @@ def test_mixed_layout_segment_falls_back(spark, transcripts,
     _assert_hits(_collect(eng.phrase_search(
         "banana cantalope", k=10, select=["conv_id", "turn_idx"])),
         want, "mixed")
+
+
+def test_append_explicit_positions_ignored_on_existing(
+        spark, transcripts, tmp_path_factory):
+    """An explicit positions flag on append_docs is honored only for the
+    FIRST segment of a brand-new collection; once postings exist the
+    detected layout wins, so one stray POST /write?positions=true can
+    never turn a positionless index mixed-layout (and vice versa)."""
+    half1 = transcripts.filter(F.col("conv_id") < "conv00000020")
+    half2 = transcripts.filter(F.col("conv_id") >= "conv00000020")
+
+    flat = str(tmp_path_factory.mktemp("flatkeep") / "collection")
+    B.build_index(spark, half1, flat, positions=False)
+    api.append_docs(spark, half2, flat, positions=True)  # ignored
+    assert "positions_bin" not in B.read_postings(spark, flat).columns
+
+    pos = str(tmp_path_factory.mktemp("poskeep") / "collection")
+    B.build_index(spark, half1, pos, positions=True)
+    api.append_docs(spark, half2, pos, positions=False)  # ignored
+    post = B.read_postings(spark, pos)
+    assert "positions_bin" in post.columns
+    assert post.filter(F.col("positions_bin").isNull()).count() == 0

@@ -96,6 +96,83 @@ def test_wand_prunes_on_zipf_corpus(spark, tmp_path):
     assert stb["blocks_scored"] < 0.5 * stb["blocks_total"], stb
     assert stb["postings_decoded"] < hot_df
 
+    # flat-OR block-max driver path (multi-term): Resin's order-sensitive
+    # OR admits docs only from the first matched term, so the candidate
+    # set is anchor-sized.  (a) rare anchor OR hot term: only the rare
+    # term's conv blocks are read — the hot term's postings outside them
+    # never decode; (b) hot anchor OR warm term: bound-ordered decode
+    # early-terminates like the single-term path.  Hits identical to the
+    # full-decode engine in both orders, including paging.
+    bm.last_blockmax_stats = None
+    for phrase in ("wandrare wandhot", "wandhot wandwarm"):
+        for skip in (0, 5):
+            got_or = bm.topk({"or": {"text": phrase}}, k=10, skip=skip)
+            want_or = base.topk({"or": {"text": phrase}}, k=10, skip=skip)
+            assert got_or == want_or, (phrase, skip)
+    bm.last_blockmax_stats = None
+    bm.topk({"or": {"text": "wandrare wandhot"}}, k=10)
+    st_rare = bm.last_blockmax_stats
+    assert st_rare is not None  # the flat-OR path actually engaged
+    # only the rare anchor's conv blocks decode — but those ARE the hot
+    # term's burst blocks (densest), so compare against the full Σdf the
+    # standard path would decode, not against hot_df alone
+    rare_df = dfm[("text", "wandrare")]
+    assert st_rare["postings_decoded"] < 0.5 * (hot_df + rare_df), st_rare
+    assert st_rare["blocks_total"] < 0.5 * stb["blocks_total"], (
+        st_rare, stb)  # anchor blocks, not every hot block
+    bm.last_blockmax_stats = None
+    bm.topk({"or": {"text": "wandhot wandwarm"}}, k=10)
+    st_hot = bm.last_blockmax_stats
+    assert st_hot is not None and st_hot["blocks_total"] >= 16
+    assert st_hot["blocks_scored"] < 0.5 * st_hot["blocks_total"], st_hot
+
+    # flat-AND block-max driver path (the hot-AND case the seed-capped
+    # pruned path refuses): force both the Σdf cap and the seed cap to 0
+    # so every pure-AND routes through the bound-ordered intersection
+    # decode — hits identical to the full-decode engine, early blocks
+    # (the co-burst range) terminate the scan
+    abm = SearchEngine(spark, root, fields=("text",))
+    abm._DRIVER_SCORE_MAX_POSTINGS = 0
+    abm._AND_SEED_MAX_POSTINGS = 0
+    for skip in (0, 5):
+        q_and = {"and": {"text": "wandhot wandwarm"}}
+        assert abm.topk(q_and, k=10, skip=skip) == base.topk(
+            q_and, k=10, skip=skip), skip
+    st_and = abm.last_blockmax_stats
+    assert st_and is not None and st_and["blocks_total"] >= 16
+    assert st_and["blocks_scored"] < 0.5 * st_and["blocks_total"], st_and
+    # a nested pure-AND chain (the q_multifield shape) routes through the
+    # same path with the fold order preserved
+    q_nest = {"and": {"text": "wandwarm", "and": {"text": "wandhot"}}}
+    assert abm.topk(q_nest, k=10) == base.topk(q_nest, k=10)
+
+    # flat NOT rides both block-max paths: NOT is the LAST fold step,
+    # the negative union decodes only inside candidate blocks, removal
+    # happens before the top-k — hits identical to the full-decode
+    # engine under both the OR (bm) and AND (abm) routings, incl. paging
+    not_cases = (
+        {"or": {"text": "wandrare wandhot", "not": {"text": "wandwarm"}}},
+        {"or": {"text": "wandhot", "not": {"text": "wandrare"}}},
+        {"or": {"text": "wandhot", "not": {"text": "wandhot"}}},  # empty
+        {"and": {"text": "wandhot", "not": {"text": "wandwarm"}}},
+        {"and": {"text": "wandhot wandwarm", "not": {"text": "wandrare"}}},
+        # NOT empties a NONEMPTY intersection: true result is [], must
+        # not bounce to the quirk fallback (pos_any discrimination)
+        {"and": {"text": "wandhot wandwarm", "not": {"text": "wandhot"}}},
+    )
+    for qd in not_cases:
+        for skip in (0, 5):
+            assert bm.topk(qd, k=10, skip=skip) == base.topk(
+                qd, k=10, skip=skip), (qd, skip)
+            assert abm.topk(qd, k=10, skip=skip) == base.topk(
+                qd, k=10, skip=skip), (qd, skip)
+    # single positive + NOT engages the flat path and still prunes
+    bm.last_blockmax_stats = None
+    bm.topk({"or": {"text": "wandhot", "not": {"text": "wandrare"}}}, k=10)
+    st_not = bm.last_blockmax_stats
+    assert st_not is not None and st_not["blocks_total"] >= 16
+    assert st_not["blocks_scored"] < 0.5 * st_not["blocks_total"], st_not
+
 
 def test_wand_disjunction_matches_python(spark, engine, oracle):
     """Full-disjunction semantics vs a brute-force python computation."""
