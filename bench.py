@@ -299,14 +299,18 @@ def main() -> None:
     # shared box swing 2-5x (one bench session measured q_not at 8.2 s
     # and, 20 minutes later, 0.87 s warm at the same config)
     q_lat: dict[str, float] = {}
+    q_bm: dict[str, dict] = {}
     for name, q in QUERIES.items():
         ts = []
         for _ in range(3):
+            engine.last_blockmax_stats = None
             t0 = time.monotonic()
             engine.search(q, k=10).collect()
             ts.append(time.monotonic() - t0)
             engine.clear_cache()
         q_lat[name] = round(statistics.median(ts), 3)
+        if engine.last_blockmax_stats:
+            q_bm[name] = dict(engine.last_blockmax_stats)
     # REPEAT-query latency: same queries WITHOUT clear_cache between
     # trials, so the decoded-postings LRU stays warm — the steady-state
     # latency of a long-lived session re-asking hot queries (the
@@ -322,10 +326,12 @@ def main() -> None:
             ts.append(time.monotonic() - t0)
         q_rep[name] = round(statistics.median(ts), 3)
         engine.clear_cache()
-    # q_hot is the only bench shape whose term clears the block-max
-    # single-term gate at sf0.1 (df ~600k): record how much of the hot
-    # term's postings the bound-ordered decode actually read
-    blockmax = getattr(engine, "last_blockmax_stats", None)
+    # q_hot clears the block-max single-term gate at sf0.1 (df ~600k):
+    # record how much of the hot term's postings the bound-ordered
+    # decode actually read.  Captured PER SHAPE above (q_bm) — since the
+    # flat-AND/OR paths landed, later shapes (q_multifield) also set
+    # last_blockmax_stats, so an after-the-loop read would mislabel them.
+    blockmax = q_bm.get("q_hot")
 
     # flat-OR block-max (multi-term): (a) rare-anchor OR hot term — the
     # order-sensitive OR candidate set is the anchor's postings, so only
@@ -582,12 +588,16 @@ def main() -> None:
             run()
             return time.monotonic() - t0
 
+        big_bm: dict[str, dict] = {}
         for name, q in QUERIES.items():
             ts = []
             for _ in range(3):
+                beng.last_blockmax_stats = None
                 ts.append(_shot(lambda: beng.search(q, k=10).collect()))
                 beng.clear_cache()
             big_cold[name] = round(statistics.median(ts), 3)
+            if beng.last_blockmax_stats:
+                big_bm[name] = dict(beng.last_blockmax_stats)
             beng.search(q, k=10).collect()
             big_warm[name] = round(statistics.median(
                 _shot(lambda: beng.search(q, k=10).collect())
@@ -611,6 +621,7 @@ def main() -> None:
                 bout["turns"] / big_build_wall, 1),
             "bigscale_queries": big_cold,
             "bigscale_queries_repeat_warm": big_warm,
+            "bigscale_queries_blockmax": big_bm,
             "bigscale_query_latency_avg_sec": round(
                 sum(big_cold.values()) / len(big_cold), 3),
             "bigscale_query_latency_repeat_avg_sec": round(
@@ -666,6 +677,7 @@ def main() -> None:
         "q_hot_blockmax_blocks_total": (blockmax or {}).get("blocks_total"),
         "q_hot_blockmax_postings_decoded": (
             blockmax or {}).get("postings_decoded"),
+        "queries_blockmax": q_bm,
         "queries_or_blockmax": or_blockmax,
         "wand_blocks_total": wand_stats["blocks_total"],
         "wand_blocks_scored": wand_stats["blocks_scored"],
@@ -752,7 +764,30 @@ Avg cold **{r['bigscale_query_latency_avg_sec']:.3f} s** / warm
 **{r['bigscale_query_latency_repeat_avg_sec']:.3f} s** — vs the 1 s
 reference bar at the reference's own corpus scale.
 
+{_bigscale_bm_md(r)}
 """
+
+
+def _bigscale_bm_md(r: dict) -> str:
+    """Scale-independence of the block-max decode: blocks scored at the
+    ~6M-turn tier vs the sf-scaled tier — the 10^12-turn evidence is that
+    decode volume tracks the BOUND-competitive block count, not the
+    corpus size."""
+    big = r.get("bigscale_queries_blockmax") or {}
+    small = r.get("queries_blockmax") or {}
+    if not big:
+        return ""
+    lines = ["Block-max decode volume at this tier vs the sf-scaled tier "
+             "(blocks scored / candidate blocks — the early-termination "
+             "certificate makes decode volume track the bound-competitive "
+             "block count, not the corpus size):", "",
+             "| query | this tier | sf tier |", "|---|---|---|"]
+    for nm, st in big.items():
+        s = small.get(nm)
+        s_txt = (f"{s['blocks_scored']}/{s['blocks_total']}" if s else "—")
+        lines.append(f"| {nm} | {st['blocks_scored']}/{st['blocks_total']} "
+                     f"({st['postings_decoded']:,} postings) | {s_txt} |")
+    return "\n".join(lines) + "\n"
 
 
 def _local32_context(r: dict, hi: int) -> str:
@@ -816,6 +851,14 @@ def _write_bench_md(r: dict, b1, b4, b_hi, hi: int, sf: float) -> None:
             "postings) — the k-th hit's score beat every unread block's "
             "(max_tf, min_dl) bound, so the rest of the term never left "
             "parquet.\n"
+        )
+    for nm, st in (r.get("queries_blockmax") or {}).items():
+        if nm == "q_hot":
+            continue  # narrated above
+        bm_line += (
+            f"{nm} rides the flat block-max path: "
+            f"{st['blocks_scored']}/{st['blocks_total']} candidate "
+            f"blocks decoded ({st['postings_decoded']:,} postings).\n"
         )
     ob = r.get("queries_or_blockmax") or {}
     for nm, st in ob.items():
