@@ -95,6 +95,15 @@ class SearchEngine:
 
         self._term_lru: "OrderedDict[tuple, tuple]" = OrderedDict()
         self._term_lru_postings = 0
+        # block-stats LRU: (field, term) -> merged (bids, ub_tf, ub_dl,
+        # raw_rows) bound arrays for the block-max paths (or None for a
+        # term whose raw stat rows bust _BLOCKMAX_MAX_STAT_ROWS — the
+        # bail outcome is deterministic at the engine's pinned snapshot,
+        # so it caches too).  A repeat hot-term query skips the stats
+        # scan the way the term LRU skips the postings read.
+        self._stats_lru: "OrderedDict[tuple, tuple | None]" = OrderedDict()
+        self._stats_lru_blocks = 0
+        self.stats_lru_misses = 0  # diagnostic counter (tests/bench)
         self.last_and_stats: dict = {}
         self.last_blockmax_stats: "dict | None" = None
 
@@ -794,7 +803,21 @@ class SearchEngine:
         df_by_key = [dfm.get(key, 0) for key in keys]
         if self._DRIVER_SCORE_MAX_POSTINGS < 0:
             return None  # driver scoring disabled (the test/strategy hook)
-        if (k and len(keys) == 1 and len(q.terms) == 1
+        # warm-repeat fast path: when every queried key is already in the
+        # decoded-postings LRU AND the query fits the driver-scored cap,
+        # the in-memory mask fold below beats any block-max re-read (no
+        # stats scan, no block fetch) — so repeat queries skip the
+        # block-max branches.  Over-cap hot terms still take block-max
+        # (the LRU never holds them: partial decodes are not cacheable),
+        # where the stats LRU covers the repeat cost instead.
+        # _BLOCKMAX_WARM_FALLBACK=False keeps forced-route strategy
+        # fixtures actually exercising block-max on repeat queries.
+        lru_warm = (self._BLOCKMAX_WARM_FALLBACK
+                    and sum(df_by_key) <= self._DRIVER_SCORE_MAX_POSTINGS
+                    and all(not df_by_key[i]
+                            or self._lru_get(keys[i]) is not None
+                            for i in range(len(keys))))
+        if (not lru_warm and k and len(keys) == 1 and len(q.terms) == 1
                 and q.op in ("and", "or")
                 and q.and_q is None and q.or_q is None and q.not_q is None
                 and df_by_key[0] > self._BLOCKMAX_MIN_POSTINGS):
@@ -820,7 +843,8 @@ class SearchEngine:
             elif (q.not_q.op == "not" and q.not_q.and_q is None
                   and q.not_q.or_q is None and q.not_q.not_q is None):
                 negs = [(t.field, t.token) for t in q.not_q.terms]
-        if (k and q.terms and q.op in ("and", "or") and negs is not None
+        if (not lru_warm and k and q.terms and q.op in ("and", "or")
+                and negs is not None
                 and sum(df_by_key) > self._BLOCKMAX_MIN_POSTINGS):
             # flat OR: Resin's order-sensitive OR (Reducer.cs:86-149)
             # admits docs only from the FIRST matched term, so the
@@ -966,6 +990,18 @@ class SearchEngine:
     # O(log) fetches more than a single scan
     _BLOCKMAX_CHUNK_START = 2
     _BLOCKMAX_CHUNK_MAX = 64
+    # once this many blocks decoded without terminating, the bounds are
+    # not pruning this query — switch from doubled chunks to slab-sized
+    # fetches (each chunk fetch is a fresh dataset scan whose fixed cost
+    # dominates at corpus scale; a no-prune shape pays ~4 scans instead
+    # of ~8).  The slab stays finite so one chunk's decode volume stays
+    # driver-RAM-bounded ahead of the _BLOCKMAX_DECODE_MAX check.
+    _BLOCKMAX_BULK_AFTER = 30
+    _BLOCKMAX_BULK_SLAB = 256
+    # allow the lru_warm fast path (repeat queries whose keys are all
+    # term-LRU-cached skip block-max for the in-memory fold); strategy
+    # fixtures set this False so forced block-max routes stay forced
+    _BLOCKMAX_WARM_FALLBACK = True
     # driver bound on the STATS read (3 int64 columns): ~24 B/row.  A
     # term spanning more blocks than this (a stopword at ~10^11+ turns)
     # falls back to the distributed fold / WAND path
@@ -978,6 +1014,58 @@ class SearchEngine:
     # path-gating knob (tests/strategies set it to 0 to force routes)
     # and must not also zero the bail
     _BLOCKMAX_DECODE_MAX = 2_000_000
+
+    # bound on the merged bound arrays held by the stats LRU (~24 B per
+    # block row); block counts are postings/BLOCK-sized, so this holds
+    # thousands of hot terms
+    _STATS_LRU_MAX_BLOCKS = 2_000_000
+
+    def _block_stats(self, key: tuple[str, str]):
+        """Merged per-block bound inputs for one (field, term):
+        ``(bids, ub_tf, ub_dl, raw_rows)`` — block ids ASC, per-block tf
+        upper bound (sum of segment-row max_tf: a doc's merged tf is the
+        sum over segments), per-block dl lower bound (min of min_dl),
+        and the raw pre-merge stat row count (the
+        _BLOCKMAX_MAX_STAT_ROWS budget is on raw rows).  ``None`` when
+        the raw rows alone bust that budget.  LRU-cached per engine —
+        the engine pins a snapshot, so entries can never go stale, and
+        clear_cache() drops them so benchmark cold trials stay cold.
+        The block-max twin of the decoded-postings term LRU (both
+        re-express the reference's per-session cached ColumnReaders,
+        SessionFactory.cs:396-403).  Caller must have checked that the
+        embedded postings dataset exists."""
+        if key in self._stats_lru:
+            self._stats_lru.move_to_end(key)
+            return self._stats_lru[key]
+        self.stats_lru_misses += 1
+        import numpy as np
+        import pyarrow.dataset as pads
+
+        kf = (pads.field("field") == key[0]) & (
+            pads.field("term") == key[1])
+        tbl = self._pa_dataset("postings").to_table(
+            columns=["block_id", "max_tf", "min_dl"], filter=kf)
+        raw = tbl.num_rows
+        if raw > self._BLOCKMAX_MAX_STAT_ROWS:
+            res = None
+        else:
+            bids, inv = np.unique(tbl.column("block_id").to_numpy(),
+                                  return_inverse=True)
+            ub_tf = np.zeros(len(bids), dtype=np.int64)
+            np.add.at(ub_tf, inv, tbl.column("max_tf").to_numpy())
+            ub_dl = np.full(len(bids), np.iinfo(np.int64).max,
+                            dtype=np.int64)
+            np.minimum.at(ub_dl, inv, tbl.column("min_dl").to_numpy())
+            res = (bids, ub_tf, ub_dl, raw)
+        n = 0 if res is None else len(res[0])
+        if n <= self._STATS_LRU_MAX_BLOCKS:
+            self._stats_lru[key] = res
+            self._stats_lru_blocks += n
+            while self._stats_lru_blocks > self._STATS_LRU_MAX_BLOCKS:
+                _, ev = self._stats_lru.popitem(last=False)
+                if ev is not None:
+                    self._stats_lru_blocks -= len(ev[0])
+        return res
 
     def _driver_single_term_blockmax(
             self, key: tuple[str, str], df: int, k: int,
@@ -997,27 +1085,15 @@ class SearchEngine:
 
         self._evict_persisted()
         term_f = (pads.field("field") == f) & (pads.field("term") == tok)
-        stat_tbl = self._pa_dataset("postings").to_table(
-            columns=["block_id", "max_tf", "min_dl"], filter=term_f)
-        if stat_tbl.num_rows == 0:
-            return []
-        if stat_tbl.num_rows > self._BLOCKMAX_MAX_STAT_ROWS:
+        got = self._block_stats(key)
+        if got is None:
             return None
+        bids, ub_tf, ub_dl, _raw = got
+        if not len(bids):
+            return []
         idf = self.idf(st["n_docs"], df)
         avgdl = st["avgdl"]
         one_minus_b = 1.0 - BB
-        # per-block bound inputs, merged over segment rows: a doc's
-        # merged tf is the SUM over segments (sum of per-row max_tf
-        # bounds it); merged dl is a max, and every row's min_dl bounds
-        # the block's smallest doc from below
-        sb = stat_tbl.column("block_id").to_numpy()
-        stf = stat_tbl.column("max_tf").to_numpy()
-        sdl = stat_tbl.column("min_dl").to_numpy()
-        bids, inv = np.unique(sb, return_inverse=True)
-        ub_tf = np.zeros(len(bids), dtype=np.int64)
-        np.add.at(ub_tf, inv, stf)
-        ub_dl = np.full(len(bids), np.iinfo(np.int64).max, dtype=np.int64)
-        np.minimum.at(ub_dl, inv, sdl)
         # EXACT score op tree of _score_mask_classes, fed the bound inputs
         ub = idf * (ub_tf / (ub_tf + K1 * (one_minus_b
                                            + BB * ub_dl / avgdl)))
@@ -1025,6 +1101,7 @@ class SearchEngine:
         need = skip + k
         cand_ids = np.empty(0, dtype=np.int64)
         cand_scores = np.empty(0, dtype=np.float64)
+        full_chunks: list[tuple] = []  # decoded (uid, tf, dl) per chunk
         decoded = 0
         scanned_blocks = 0
         pos = 0
@@ -1057,6 +1134,7 @@ class SearchEngine:
                                             + BB * dl / avgdl)))
                 cand_ids = np.concatenate([cand_ids, uid])
                 cand_scores = np.concatenate([cand_scores, w])
+                full_chunks.append((uid, tf, dl))
             if len(cand_ids) >= need:
                 top = np.lexsort((cand_ids, -cand_scores))[:need]
                 cand_ids, cand_scores = cand_ids[top], cand_scores[top]
@@ -1076,6 +1154,29 @@ class SearchEngine:
                     break
             if decoded > self._BLOCKMAX_DECODE_MAX:
                 return None  # degenerate bounds: no early termination
+            if scanned_blocks >= self._BLOCKMAX_BULK_AFTER:
+                # the bounds aren't pruning — each chunk fetch re-scans
+                # the dataset, so stop doubling and take the rest in
+                # slab-sized fetches (one or two more scans instead of
+                # log2 more); the stop test and decode bail still apply
+                chunk_n = self._BLOCKMAX_BULK_SLAB
+        if scanned_blocks == len(order):
+            # every block decoded — a FULL decode, so the merged arrays
+            # are exactly what the standard path would have produced and
+            # may enter the term LRU (partial decodes never do); blocks
+            # partition the doc space, so cross-chunk docs are disjoint
+            # and a sort completes the merge.  The repeat query then
+            # takes the lru_warm fast path instead of re-reading blocks.
+            uid = np.concatenate([c[0] for c in full_chunks]) \
+                if full_chunks else np.empty(0, dtype=np.int64)
+            srt = np.argsort(uid, kind="stable")
+            self._lru_put(key, (
+                uid[srt],
+                np.concatenate([c[1] for c in full_chunks])[srt]
+                if full_chunks else np.empty(0, dtype=np.int64),
+                np.concatenate([c[2] for c in full_chunks])[srt]
+                if full_chunks else np.empty(0, dtype=np.int64),
+            ))
         self.last_blockmax_stats = {
             "blocks_total": int(len(bids)),
             "blocks_scored": int(scanned_blocks),
@@ -1177,26 +1278,19 @@ class SearchEngine:
                 return None
         # per-key per-block bound inputs (merged over segment rows: tf
         # sums, dl mins — same merge as the single-term path); one
-        # pushed stats read per key keeps the columns numeric (no 8M-row
-        # string materialization)
+        # pushed stats read per key (LRU-cached, _block_stats) keeps the
+        # columns numeric (no 8M-row string materialization)
         one_minus_b = 1.0 - BB
         per_key: dict[tuple, tuple] = {}
         stat_rows = 0
         for key in set(keys):
-            kf = ((pads.field("field") == key[0])
-                  & (pads.field("term") == key[1]))
-            tbl = self._pa_dataset("postings").to_table(
-                columns=["block_id", "max_tf", "min_dl"], filter=kf)
-            stat_rows += tbl.num_rows
+            got = self._block_stats(key)
+            if got is None:
+                return None
+            bids_k, ub_tf, ub_dl, raw = got
+            stat_rows += raw
             if stat_rows > self._BLOCKMAX_MAX_STAT_ROWS:
                 return None
-            bids_k, inv = np.unique(tbl.column("block_id").to_numpy(),
-                                    return_inverse=True)
-            ub_tf = np.zeros(len(bids_k), dtype=np.int64)
-            np.add.at(ub_tf, inv, tbl.column("max_tf").to_numpy())
-            ub_dl = np.full(len(bids_k), np.iinfo(np.int64).max,
-                            dtype=np.int64)
-            np.minimum.at(ub_dl, inv, tbl.column("min_dl").to_numpy())
             w = idf_of[key] * (ub_tf / (ub_tf + K1 * (
                 one_minus_b + BB * ub_dl / avgdl_of[key])))
             per_key[key] = (bids_k, w)
@@ -1235,6 +1329,7 @@ class SearchEngine:
         chunk_n = self._BLOCKMAX_CHUNK_START
         cols = ("field", "term", "df_block", "doc_ids_bin", "tfs_bin",
                 "dls_bin")
+        full_by_key: dict[tuple, list] = {}  # per-key decoded chunks
         while pos < len(order):
             chunk = order[pos:pos + chunk_n]
             pos += len(chunk)
@@ -1278,6 +1373,7 @@ class SearchEngine:
                 w = idf_of[key] * (tf / (tf + K1 * (
                     one_minus_b + BB * dl / avgdl_of[key])))
                 dec[key] = (uid, w)
+                full_by_key.setdefault(key, []).append((uid, tf, dl))
             if anchor in dec:
                 uid_a = dec[anchor][0]
                 if mode == "and":
@@ -1326,6 +1422,10 @@ class SearchEngine:
                     break
             if decoded > self._BLOCKMAX_DECODE_MAX:
                 return None  # degenerate bounds: no early termination
+            if scanned_blocks >= self._BLOCKMAX_BULK_AFTER:
+                # no pruning — slab fetches instead of doubled chunks
+                # (see the single-term path)
+                chunk_n = self._BLOCKMAX_BULK_SLAB
         if mode == "and" and not len(cand_ids) and not pos_any:
             # empty POSITIVE intersection: a fold prefix may have been
             # empty, and an empty accumulator re-inserts the next term's
@@ -1334,6 +1434,25 @@ class SearchEngine:
             # every prefix was nonempty, so if NOT then emptied it the
             # true result IS empty and falls through to the final take
             return None
+        if scanned_blocks == len(order):
+            # every candidate block decoded: any key whose OWN block set
+            # lies inside the candidate set got a FULL decode (see the
+            # single-term path) — cache those in the term LRU so the
+            # repeat query can take the lru_warm fast path.  Keys with
+            # blocks outside the candidate set (an OR boost term wider
+            # than its anchor, an AND term wider than the intersection)
+            # stay uncached: partial decodes never enter the LRU.
+            for key, chunks in full_by_key.items():
+                kb = per_key[key][0]
+                if len(kb) and np.isin(kb, bids,
+                                       assume_unique=True).all():
+                    uid_f = np.concatenate([c[0] for c in chunks])
+                    srt = np.argsort(uid_f, kind="stable")
+                    self._lru_put(key, (
+                        uid_f[srt],
+                        np.concatenate([c[1] for c in chunks])[srt],
+                        np.concatenate([c[2] for c in chunks])[srt],
+                    ))
         self.last_blockmax_stats = {
             "blocks_total": int(len(bids)),
             "blocks_scored": int(scanned_blocks),
@@ -2094,6 +2213,8 @@ class SearchEngine:
         self._evict_persisted()
         self._term_lru.clear()
         self._term_lru_postings = 0
+        self._stats_lru.clear()
+        self._stats_lru_blocks = 0
 
 
 def multi_search(

@@ -87,6 +87,7 @@ def test_wand_prunes_on_zipf_corpus(spark, tmp_path):
     # identical to the full-decode engine, most blocks never read
     bm = SearchEngine(spark, root, fields=("text",))
     bm._BLOCKMAX_MIN_POSTINGS = 0
+    bm._BLOCKMAX_WARM_FALLBACK = False  # keep the forced route forced
     for skip in (0, 5):
         got_bm = bm.topk({"or": {"text": "wandhot"}}, k=10, skip=skip)
         want_bm = base.topk({"or": {"text": "wandhot"}}, k=10, skip=skip)
@@ -195,3 +196,60 @@ def test_wand_disjunction_matches_python(spark, engine, oracle):
     assert [d for d, _ in got] == want_ids
     for (_, s1), (_, s2) in zip(got, want):
         assert m.isclose(s1, s2, rel_tol=0, abs_tol=1e-9)
+
+
+def test_blockmax_caches(spark, engine):
+    """The block-max warm machinery: (1) per-term block-stats bound
+    arrays are LRU-cached, so a repeat block-max query performs no new
+    stats scan; (2) a block-max run that decodes EVERY block is a FULL
+    decode and feeds the term LRU with exactly the standard read path's
+    merged arrays; (3) the repeat query then takes the lru_warm fast
+    path (in-memory fold — identical hits, no block re-read), unless
+    _BLOCKMAX_WARM_FALLBACK is off (the strategy-fixture form), which
+    keeps the route forced while the stats LRU still serves the bounds;
+    (4) clear_cache() restores cold behavior so bench cold trials stay
+    honest."""
+    from resin_spark.executor import SearchEngine
+
+    engine.clear_cache()
+    engine._BLOCKMAX_MIN_POSTINGS = 0
+    try:
+        q = {"or": {"text": "banana"}}
+        # k past the term's df => the stop rule can never fire early =>
+        # guaranteed full decode
+        h1 = engine.topk(q, k=1000)
+        st = engine.last_blockmax_stats
+        assert st is not None
+        assert st["blocks_scored"] == st["blocks_total"]
+        got = engine._lru_get(("text", "banana"))
+        assert got is not None  # full decode entered the term LRU
+        base = SearchEngine(spark, engine.root)
+        ref = base._collect_key_postings(("text", "banana"), None)
+        assert all((a == b).all() for a, b in zip(got, ref))
+        m1 = engine.stats_lru_misses
+        engine.last_blockmax_stats = None
+        assert engine.topk(q, k=1000) == h1
+        # warm repeat: lru_warm fast path — no block-max, no stats scan
+        assert engine.last_blockmax_stats is None
+        assert engine.stats_lru_misses == m1
+        # forced-route form: block-max re-engages, stats LRU serves it
+        engine._BLOCKMAX_WARM_FALLBACK = False
+        assert engine.topk(q, k=1000) == h1
+        assert engine.last_blockmax_stats is not None
+        assert engine.stats_lru_misses == m1
+        # flat-OR path shares the same stats LRU per key
+        engine.clear_cache()
+        m2 = engine.stats_lru_misses
+        q2 = {"or": {"text": "banana apple"}}
+        h2 = engine.topk(q2, k=10)
+        assert engine.stats_lru_misses == m2 + 2
+        assert engine.topk(q2, k=10) == h2
+        assert engine.stats_lru_misses == m2 + 2
+        # cold again after clear_cache()
+        engine.clear_cache()
+        assert engine.topk(q, k=1000) == h1
+        assert engine.stats_lru_misses > m2 + 2
+    finally:
+        del engine.__dict__["_BLOCKMAX_MIN_POSTINGS"]
+        engine.__dict__.pop("_BLOCKMAX_WARM_FALLBACK", None)
+        engine.clear_cache()
