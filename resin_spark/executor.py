@@ -840,24 +840,66 @@ class SearchEngine:
         if q.and_q is None and q.or_q is None:
             if q.not_q is None:
                 negs = []
-            elif (q.not_q.op == "not" and q.not_q.and_q is None
-                  and q.not_q.or_q is None and q.not_q.not_q is None):
+            elif self._flat_not(q.not_q):
                 negs = [(t.field, t.token) for t in q.not_q.terms]
         if (not lru_warm and k and q.terms and q.op in ("and", "or")
-                and negs is not None
+                and q.and_q is None
                 and sum(df_by_key) > self._BLOCKMAX_MIN_POSTINGS):
-            # flat OR: Resin's order-sensitive OR (Reducer.cs:86-149)
-            # admits docs only from the FIRST matched term, so the
-            # candidate set is anchor-postings-sized and the multi-term
-            # block-max decode applies (see _driver_flat_blockmax).
-            # A single matched term with a NOT clause takes the same
-            # route (the no-NOT single-term case kept its own path above)
+            # flat OR (+ or_q chain): Resin's order-sensitive OR
+            # (Reducer.cs:86-149) admits docs only from the FIRST
+            # matched term — the OR merge adopts the incoming dict ONLY
+            # on an empty accumulator and is boost-only otherwise — so
+            # the candidate set is anchor-postings-sized and the
+            # multi-term block-max decode applies
+            # (see _driver_flat_blockmax).  A single matched term with a
+            # NOT clause takes the same route (the no-NOT single-term
+            # case kept its own path above).
+            #
+            # An or_q CHAIN flattens exactly when every chain clause
+            # carries at most ONE matched term: such a clause's result
+            # IS that term's postings dict, and its merge boosts
+            # accumulator docs by the term's weight — identical to a
+            # flat "or" term (with an empty accumulator it ADMITS, i.e.
+            # becomes the anchor, which the flat fold also models).  A
+            # clause with 2+ matched terms does NOT flatten: its
+            # internal anchor restricts the clause's boosts to its own
+            # postings.  Flat NOTs on chain nodes all merge AFTER every
+            # boost (the fold order is terms → and_q → or_q → not_q and
+            # deeper clauses are or_q SUBTREES of shallower nodes), so
+            # they union into one trailing subtraction.
             matched = [t for t in q.terms
                        if dfm.get((t.field, t.token), 0) > 0]
-            if (matched and all(t.op == "or" for t in matched[1:])
-                    and (len(matched) >= 2 or negs)):
+            cnegs: "list[tuple[str, str]] | None" = []
+            if q.not_q is not None:
+                cnegs = ([(t.field, t.token) for t in q.not_q.terms]
+                         if self._flat_not(q.not_q) else None)
+            node = q.or_q
+            while cnegs is not None and node is not None:
+                nm = [t for t in node.terms
+                      if dfm.get((t.field, t.token), 0) > 0]
+                if (node.op != "or" or node.and_q is not None
+                        or len(nm) > 1
+                        or (node.not_q is not None
+                            and not self._flat_not(node.not_q))):
+                    cnegs = None
+                    break
+                matched.extend(nm)
+                if node.not_q is not None:
+                    cnegs.extend((t.field, t.token)
+                                 for t in node.not_q.terms)
+                node = node.or_q
+            n_top = len([t for t in q.terms
+                         if dfm.get((t.field, t.token), 0) > 0])
+            if (cnegs is not None and matched
+                    and all(t.op == "or" for t in matched[1:n_top])
+                    and (len(matched) >= 2 or cnegs
+                         or q.or_q is not None)):
+                # the last disjunct: a chain query with ONE matched term
+                # can't take the single-term branch above (its key count
+                # includes unmatched chain terms), so the flat path IS
+                # its block-max route
                 hits = self._driver_flat_blockmax(matched, dfm, k, skip,
-                                                  "or", negs)
+                                                  "or", cnegs)
                 if hits is not None:
                     return hits
         if sum(df_by_key) > self._DRIVER_SCORE_MAX_POSTINGS:
@@ -1479,6 +1521,13 @@ class SearchEngine:
     _AND_SEED_MAX_POSTINGS = 500_000
     _AND_BLOCK_IN_MAX = 8192
     _AND_COLLECT_MAX_POSTINGS = 4_000_000
+
+    @staticmethod
+    def _flat_not(nq: Query) -> bool:
+        """A clause-only NOT node (op 'not', no sub-clauses): the shape
+        whose terms form one subtractable postings union."""
+        return (nq.op == "not" and nq.and_q is None and nq.or_q is None
+                and nq.not_q is None)
 
     def _pure_and(self, q: Query) -> bool:
         if q.op != "and" or q.or_q is not None or q.not_q is not None:

@@ -174,6 +174,40 @@ def test_wand_prunes_on_zipf_corpus(spark, tmp_path):
     assert st_not is not None and st_not["blocks_total"] >= 16
     assert st_not["blocks_scored"] < 0.5 * st_not["blocks_total"], st_not
 
+    # or_q CHAIN flattening: clauses with at most one matched term are
+    # boost-only merges (the OR merge adopts incoming only on an empty
+    # accumulator), so the chain rides the flat block-max path — hits
+    # identical to the full-decode engine, candidate set still
+    # anchor-sized.  Covered shapes: single-term chain, chain-node flat
+    # NOT, unmatched top anchor (the first matched CHAIN term admits),
+    # and the non-flattenable multi-matched-term clause must NOT route.
+    chain_cases = (
+        {"or": {"text": "wandrare", "or": {"text": "wandhot"}}},
+        {"or": {"text": "wandhot",
+                "or": {"text": "wandwarm", "not": {"text": "wandrare"}}}},
+        {"or": {"text": "wandrare",
+                "or": {"text": "wandhot", "or": {"text": "wandwarm"}}}},
+        {"or": {"text": "zzznope", "or": {"text": "wandhot"}}},
+    )
+    for qd in chain_cases:
+        for skip in (0, 5):
+            bm.clear_cache()
+            bm.last_blockmax_stats = None
+            assert bm.topk(qd, k=10, skip=skip) == base.topk(
+                qd, k=10, skip=skip), (qd, skip)
+            assert bm.last_blockmax_stats is not None, qd  # path engaged
+    bm.clear_cache()
+    bm.last_blockmax_stats = None
+    bm.topk({"or": {"text": "wandrare", "or": {"text": "wandhot"}}}, k=10)
+    st_chain = bm.last_blockmax_stats
+    assert st_chain is not None  # anchor-sized candidate set: rare blocks
+    assert st_chain["blocks_total"] < 0.5 * stb["blocks_total"], st_chain
+    q_multi = {"or": {"text": "wandrare",
+                      "or": {"text": "wandhot wandwarm"}}}
+    bm.last_blockmax_stats = None
+    assert bm.topk(q_multi, k=10) == base.topk(q_multi, k=10)
+    assert bm.last_blockmax_stats is None  # 2-matched-term clause: no flatten
+
 
 def test_wand_disjunction_matches_python(spark, engine, oracle):
     """Full-disjunction semantics vs a brute-force python computation."""
