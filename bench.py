@@ -342,6 +342,7 @@ def main() -> None:
     or_blockmax: dict[str, dict] = {}
     chk_eng = SearchEngine(spark, f"{tmp}/idx_hi")
     chk_eng._BLOCKMAX_MIN_POSTINGS = 1 << 62  # full decode / std paths
+    chk_eng._BLOCKMAX_FLAT_MIN_POSTINGS = 1 << 62
     for nm, qq in (("or_rare_anchor_hot",
                     {"or": {"text": "banana hotterm"}}),
                    ("or_hot_anchor",

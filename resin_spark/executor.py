@@ -844,7 +844,7 @@ class SearchEngine:
                 negs = [(t.field, t.token) for t in q.not_q.terms]
         if (not lru_warm and k and q.terms and q.op in ("and", "or")
                 and q.and_q is None
-                and sum(df_by_key) > self._BLOCKMAX_MIN_POSTINGS):
+                and sum(df_by_key) > self._BLOCKMAX_FLAT_MIN_POSTINGS):
             # flat OR (+ or_q chain): Resin's order-sensitive OR
             # (Reducer.cs:86-149) admits docs only from the FIRST
             # matched term — the OR merge adopts the incoming dict ONLY
@@ -1040,6 +1040,16 @@ class SearchEngine:
     # driver-RAM-bounded ahead of the _BLOCKMAX_DECODE_MAX check.
     _BLOCKMAX_BULK_AFTER = 30
     _BLOCKMAX_BULK_SLAB = 256
+    # flat (multi-term / NOT) block-max gate: engage only ABOVE the
+    # driver-scored cap, where the alternative is the distributed fold.
+    # Measured (BENCH.md round 5): for Σdf under the cap the standard
+    # decode-once path wins BOTH cold (one pushed scan per miss vs
+    # several chunked scans — the per-scan fixed cost dominates decode
+    # volume at driver sizes) and warm (term LRU in-memory fold).  The
+    # single-term gate stays low (_BLOCKMAX_MIN_POSTINGS): a lone hot
+    # term's bound variance makes its pruning reliably strong (measured
+    # 2/226 blocks at the 6M tier vs a 1.95 s full decode)
+    _BLOCKMAX_FLAT_MIN_POSTINGS = 2_000_000
     # allow the lru_warm fast path (repeat queries whose keys are all
     # term-LRU-cached skip block-max for the in-memory fold); strategy
     # fixtures set this False so forced block-max routes stay forced
@@ -1318,6 +1328,9 @@ class SearchEngine:
             neg_f = self._pa_filter_terms(neg_by_field)
             if neg_f is None:
                 return None
+        all_f = term_f if neg_f is None else (term_f | neg_f)
+        pos_keys = set(keys)
+        neg_keys = set(negs)
         # per-key per-block bound inputs (merged over segment rows: tf
         # sums, dl mins — same merge as the single-term path); one
         # pushed stats read per key (LRU-cached, _block_stats) keeps the
@@ -1378,18 +1391,19 @@ class SearchEngine:
             chunk_n = min(chunk_n * 2, self._BLOCKMAX_CHUNK_MAX)
             scanned_blocks += len(chunk)
             chunk_bids = [int(bids[c]) for c in chunk]
+            # ONE pushed scan per chunk covers positive AND negative
+            # keys (the filter is the union; rows split by key below) —
+            # a NOT clause must not double the per-chunk scan count
             rows = self._pa_postings_rows(
-                term_f & pads.field("block_id").isin(chunk_bids), cols)
+                all_f & pads.field("block_id").isin(chunk_bids), cols)
             if rows is None:
                 return None
-            decoded += sum(r["df_block"] for r in rows)
+            decoded += sum(r["df_block"] for r in rows
+                           if (r["field"], r["term"]) in pos_keys)
             neg_union = None
-            if neg_f is not None:
-                nrows = self._pa_postings_rows(
-                    neg_f & pads.field("block_id").isin(chunk_bids),
-                    ("df_block", "doc_ids_bin"))
-                if nrows is None:
-                    return None
+            if neg_keys:
+                nrows = [r for r in rows
+                         if (r["field"], r["term"]) in neg_keys]
                 decoded += sum(r["df_block"] for r in nrows)
                 if nrows:
                     neg_union = np.unique(np.concatenate(
@@ -1397,7 +1411,8 @@ class SearchEngine:
                          for r in nrows]))
             bufs: dict[tuple, list] = {}
             for r in rows:
-                bufs.setdefault((r["field"], r["term"]), []).append(r)
+                if (r["field"], r["term"]) in pos_keys:
+                    bufs.setdefault((r["field"], r["term"]), []).append(r)
             dec: dict[tuple, tuple] = {}
             for key, blist in bufs.items():
                 ids = np.concatenate(

@@ -84,11 +84,13 @@ def engine_s(request, engine):
     cap = {"distributed": -1, "and_pruned": 0}.get(request.param)
     if request.param == "blockmax":
         engine._BLOCKMAX_MIN_POSTINGS = 0
+        engine._BLOCKMAX_FLAT_MIN_POSTINGS = 0
         engine._BLOCKMAX_WARM_FALLBACK = False
         try:
             yield engine
         finally:
             del engine.__dict__["_BLOCKMAX_MIN_POSTINGS"]
+            del engine.__dict__["_BLOCKMAX_FLAT_MIN_POSTINGS"]
             del engine.__dict__["_BLOCKMAX_WARM_FALLBACK"]
     elif request.param == "and_blockmax":
         engine._DRIVER_SCORE_MAX_POSTINGS = 0

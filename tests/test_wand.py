@@ -87,6 +87,7 @@ def test_wand_prunes_on_zipf_corpus(spark, tmp_path):
     # identical to the full-decode engine, most blocks never read
     bm = SearchEngine(spark, root, fields=("text",))
     bm._BLOCKMAX_MIN_POSTINGS = 0
+    bm._BLOCKMAX_FLAT_MIN_POSTINGS = 0
     bm._BLOCKMAX_WARM_FALLBACK = False  # keep the forced route forced
     for skip in (0, 5):
         got_bm = bm.topk({"or": {"text": "wandhot"}}, k=10, skip=skip)
@@ -247,6 +248,7 @@ def test_blockmax_caches(spark, engine):
 
     engine.clear_cache()
     engine._BLOCKMAX_MIN_POSTINGS = 0
+    engine._BLOCKMAX_FLAT_MIN_POSTINGS = 0
     try:
         q = {"or": {"text": "banana"}}
         # k past the term's df => the stop rule can never fire early =>
@@ -285,5 +287,6 @@ def test_blockmax_caches(spark, engine):
         assert engine.stats_lru_misses > m2 + 2
     finally:
         del engine.__dict__["_BLOCKMAX_MIN_POSTINGS"]
+        del engine.__dict__["_BLOCKMAX_FLAT_MIN_POSTINGS"]
         engine.__dict__.pop("_BLOCKMAX_WARM_FALLBACK", None)
         engine.clear_cache()
