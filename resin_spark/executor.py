@@ -1022,10 +1022,19 @@ class SearchEngine:
     # doc_id asc) final order.  This is the Block-Max WAND bound of
     # wand.py applied to the embedded driver path, where the single-term
     # shape makes it exact with no pivot bookkeeping.  Engages above
-    # _BLOCKMAX_MIN_POSTINGS (below it the plain full decode is already
-    # ~ms); bails to the standard paths (None) if termination hasn't
-    # happened by _DRIVER_SCORE_MAX_POSTINGS decoded occurrences.
-    _BLOCKMAX_MIN_POSTINGS = 200_000
+    # _BLOCKMAX_MIN_POSTINGS; below it the standard decode-once path is
+    # cheaper END TO END — its cost is one pushed scan plus a decode
+    # bounded by df itself (corpus-size-independent), while block-max
+    # pays a stats read plus several chunked scans whose per-scan fixed
+    # cost grows with the dataset (measured at the 6M tier: a 360k-df
+    # term took 1.45 s cold / 1.54 s warm via 14-block block-max vs
+    # 0.66 / 0.34 s standard, while the 1.8M-df hot term took 0.44 s
+    # via 2-block block-max vs 1.95 s standard — pruning must be strong
+    # for block-max to win, and a lone term needs high df for its bound
+    # variance to prune hard).  Bails to the standard paths (None) if
+    # termination
+    # hasn't happened by _DRIVER_SCORE_MAX_POSTINGS decoded occurrences.
+    _BLOCKMAX_MIN_POSTINGS = 500_000
     # chunk growth 2 -> 4 -> 8 -> ... -> cap: top-k usually terminates
     # within the first chunks (one block holds thousands of postings), so
     # starting small maximizes pruning; doubling keeps the worst case at
