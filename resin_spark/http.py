@@ -86,11 +86,18 @@ class ResinHttpServer:
     writes).  ``port=0`` binds an ephemeral port (read ``.port``)."""
 
     def __init__(self, spark: SparkSession, root_dir: str,
-                 host: str = "127.0.0.1", port: int = 0):
+                 host: str = "127.0.0.1", port: int = 0,
+                 wet_dir: str | None = None):
+        from resin_spark.crawl import CrawlQueue
         from resin_spark.executor import SearchEngine
 
         self.spark = spark
         self.root_dir = root_dir.rstrip("/")
+        # local WET store for crawl jobs — the reference keeps downloaded
+        # files under <Directory>/wet (CrawlJob.cs:120); offline analog
+        # reads pre-placed files from the same place
+        self.wet_dir = wet_dir or f"{self.root_dir}/wet"
+        self._crawl_queue = CrawlQueue()
         self._engines: dict[str, SearchEngine] = {}
         self._lock = threading.Lock()
         outer = self
@@ -136,6 +143,8 @@ class ResinHttpServer:
                         outer._handle_write(self, qs)
                     elif u.path == "/saveas":
                         outer._handle_saveas(self, qs)
+                    elif u.path == "/crawl":
+                        outer._handle_crawl(self, qs)
                     else:
                         self._send(404, {"error": f"no route {u.path}"})
                 except Exception as e:
@@ -308,7 +317,49 @@ class ResinHttpServer:
             self._engines.pop(target, None)
         h._send(201, {"target": target, **res})
 
+    def _handle_crawl(self, h, qs):
+        """CrawlController.Post analog (CrawlController.cs:41-90):
+        validate the job name, enqueue a background CrawlJob keyed by
+        crawlid, and return immediately — progress is polled via
+        GET /status?crawlid=... (the reference redirects to its Status
+        page).  Only job=CCC exists (CrawlJob.cs:58-63)."""
+        from resin_spark.crawl import crawl_wet
+
+        p = parse_get_params(qs)
+        job = (qs.get("job") or [""])[0]
+        crawlid = (qs.get("crawlid") or [None])[0]
+        if job != "CCC":
+            h._send(400, {"error": "job must be CCC"})
+            return
+        if not p["collections"] or not p["q"]:
+            h._send(400, {"error": "collection and q are required"})
+            return
+
+        def run(st: dict) -> dict:
+            res = crawl_wet(
+                self.spark, self.root_dir, p["collections"], p["q"],
+                p["fields"], self.wet_dir, op=p["op"], skip=p["skip"],
+                take=p["take"], status=st, engine_factory=self.engine)
+            if res.get("written"):
+                eng = self._engines.get("cc_wet")
+                if eng is not None:
+                    eng.refresh()
+            return res
+
+        cid = self._crawl_queue.enqueue(run, crawlid)
+        h._send(202, {"crawlid": cid, "state": "queued"})
+
     def _handle_status(self, h, qs):
+        crawlid = (qs.get("crawlid") or [None])[0]
+        if crawlid:
+            # StatusController analog: poll a crawl job's Status dict
+            # (StatusController.cs:25-41)
+            st = self._crawl_queue.get_status(crawlid)
+            if st is None:
+                h._send(404, {"error": f"no crawl {crawlid}"})
+                return
+            h._send(200, dict(st, crawlid=crawlid))
+            return
         collection = (qs.get("collection") or [None])[0]
         if not collection:
             h._send(400, {"error": "collection is required"})
