@@ -127,6 +127,28 @@ def cmd_truncate(args) -> int:
     return 0
 
 
+def cmd_truncate_index(args) -> int:
+    """Drop only the index tables, keep docs (the reference's
+    ``truncate-index`` command, Sir.Cmd/Program.cs:55-58 ->
+    SessionFactory.TruncateIndex, SessionFactory.cs:79-110)."""
+    from resin_spark.api import truncate_index
+
+    truncate_index(_session(args), args.root)
+    print("index truncated")
+    return 0
+
+
+def cmd_slice(args) -> int:
+    """Copy the first ``length`` bytes of a file — the reference's
+    ``slice`` sampling utility for cutting a test slice off a dump
+    (Sir.Cmd/Program.cs:127-141).  A driver-local file op there and
+    here."""
+    with open(args.source, "rb") as src, open(args.result, "wb") as out:
+        out.write(src.read(args.length))
+    print(f"wrote {args.length} bytes to {args.result}")
+    return 0
+
+
 def cmd_stream(args) -> int:
     from resin_spark.streaming import stream_index
 
@@ -231,6 +253,17 @@ def main(argv: list[str] | None = None) -> int:
     t = sub.add_parser("truncate")
     t.add_argument("--root", required=True)
 
+    ti = sub.add_parser("truncate-index",
+                        help="drop the index, keep the docs")
+    ti.add_argument("--root", required=True)
+
+    sl = sub.add_parser("slice",
+                        help="copy the first N bytes of a file "
+                             "(dump sampling utility)")
+    sl.add_argument("--source", required=True)
+    sl.add_argument("--result", required=True)
+    sl.add_argument("--length", type=int, required=True)
+
     st = sub.add_parser("stream")
     st.add_argument("--input", required=True)
     st.add_argument("--root", required=True)
@@ -263,6 +296,8 @@ def main(argv: list[str] | None = None) -> int:
         "write": cmd_write,
         "optimize": cmd_optimize,
         "truncate": cmd_truncate,
+        "truncate-index": cmd_truncate_index,
+        "slice": cmd_slice,
         "stream": cmd_stream,
         "serve": cmd_serve,
         "compare": cmd_compare,

@@ -238,3 +238,31 @@ def test_cli_snippet_follows_field(spark, transcripts, tmp_path, capsys):
                      "--k", "2"]) == 0
     out = capsys.readouterr().out
     assert "snippet" in out and "user" in out
+
+
+def test_cli_truncate_index_and_slice(spark, transcripts, tmp_path,
+                                      capsys):
+    """truncate-index drops the index but keeps docs (Program.cs:55-58);
+    slice copies the first N bytes of a file (Program.cs:127-141)."""
+    import os
+
+    from resin_spark import build as B
+
+    src = str(tmp_path / "in")
+    transcripts.write.mode("overwrite").parquet(src)
+    root = str(tmp_path / "idx")
+    assert cli.main(["build", "--input", src, "--root", root]) == 0
+    capsys.readouterr()
+    assert cli.main(["truncate-index", "--root", root]) == 0
+    assert "index truncated" in capsys.readouterr().out
+    assert not B._exists(spark, B.p_postings(root))
+    assert B._exists(spark, B.p_docs(root))
+    assert spark.read.parquet(B.p_docs(root)).count() == transcripts.count()
+
+    big = tmp_path / "dump.bin"
+    big.write_bytes(bytes(range(256)) * 4)
+    out = tmp_path / "slice.bin"
+    assert cli.main(["slice", "--source", str(big), "--result", str(out),
+                     "--length", "100"]) == 0
+    assert out.read_bytes() == bytes(range(100))
+    assert os.path.getsize(out) == 100
