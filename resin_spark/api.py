@@ -78,12 +78,17 @@ def append_docs(spark: SparkSession, batch: DataFrame, root: str,
     # a positionless index, which would make every later auto-detect
     # depend on which parquet footer Spark happens to sample.
     detected: bool | None = None
-    if done or B._exists(spark, B.p_postings(root)):
+    # keyed on the postings TABLE existing, not on lineage receipts:
+    # after truncate_index the receipts survive but the index is gone,
+    # and that state is "brand-new collection" for layout purposes — an
+    # explicit positions flag must be honored there or the collection
+    # could never be rebuilt positional via append.
+    if B._exists(spark, B.p_postings(root)):
         try:
             detected = ("positions_bin"
                         in B.read_postings(spark, root).columns)
         except Exception:
-            detected = False
+            detected = None  # unreadable/empty postings dir: treat as new
     positions = bool(positions) if detected is None else detected
     seg_df = batch.withColumn("segment", F.lit(seg))
     B._build_segment(spark, seg_df, conv_dim, root,

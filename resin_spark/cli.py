@@ -143,9 +143,21 @@ def cmd_slice(args) -> int:
     ``slice`` sampling utility for cutting a test slice off a dump
     (Sir.Cmd/Program.cs:127-141).  A driver-local file op there and
     here."""
+    if args.length < 0:
+        print(f"slice: --length must be >= 0, got {args.length}")
+        return 2
+    # chunked copy (the reference streams via a bounded buffer,
+    # Program.cs:133-139): a multi-GB slice must not become one
+    # driver-resident bytes object
+    written = 0
     with open(args.source, "rb") as src, open(args.result, "wb") as out:
-        out.write(src.read(args.length))
-    print(f"wrote {args.length} bytes to {args.result}")
+        while written < args.length:
+            chunk = src.read(min(1 << 20, args.length - written))
+            if not chunk:
+                break
+            out.write(chunk)
+            written += len(chunk)
+    print(f"wrote {written} bytes to {args.result}")
     return 0
 
 

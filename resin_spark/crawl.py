@@ -50,20 +50,28 @@ def wet_file_id(warc_filename: str) -> str:
     return warc_filename.replace("/warc", "/wet").replace(".gz", ".wet.gz")
 
 
-def _target_has_file(spark: SparkSession, target_root: str,
-                     wet_id: str) -> bool:
+def _target_engine(spark: SparkSession, target_root: str):
+    """One engine for the whole probe loop (stats + df-mirror reads are
+    paid once per job, not once per WET file); None when the target has
+    no index yet."""
+    from resin_spark import build as B
+    from resin_spark.executor import SearchEngine
+
+    if not B._exists(spark, B.p_postings(target_root)):
+        return None
+    return SearchEngine(spark, target_root)
+
+
+def _target_has_file(target_eng, wet_id: str) -> bool:
     """Already-indexed check: an AND query on the target's filename
     (=tool) field, exactly the reference's wetQuery probe
     (CrawlJob.cs:105-118) — tokenized match, take=1."""
-    from resin_spark import build as B
-    from resin_spark.executor import SearchEngine
     from resin_spark.query import parse_flat
 
-    if not B._exists(spark, B.p_postings(target_root)):
+    if target_eng is None:
         return False
-    eng = SearchEngine(spark, target_root)
     q = parse_flat(wet_id, ["tool"], op="and")
-    return len(eng.search(q, k=1).take(1)) > 0
+    return len(target_eng.search(q, k=1).take(1)) > 0
 
 
 def crawl_wet(
@@ -116,12 +124,22 @@ def crawl_wet(
         if len(collections) == 1:
             hits = mk(collections[0]).search(query, k=take, skip=skip)
         else:
+            # multi-collection page: skip is plumbed through and the
+            # stored role/tool fields are projected alongside the keys
+            # (the reference job reads title/filename off each hit)
             hits = multi_search({c: mk(c) for c in collections},
-                                query, k=take)
+                                query, k=take, skip=skip,
+                                select=["role", "tool"])
         # k-bounded collect, like the reference's ToDictionary over the
-        # page (CrawlJob.cs:85-87); url -> (title, warc filename)
-        originals = [(r["conv_id"], r["role"], r["tool"])
-                     for r in hits.collect()]
+        # page (CrawlJob.cs:85-87); url -> (title, warc filename).  The
+        # dictionary is KEYED on url — a url hit in several collections
+        # keeps only its best-ranked row (a duplicate in orig_df would
+        # fan out the WET join and ingest the record twice)
+        originals, seen_urls = [], set()
+        for r in hits.collect():
+            if r["conv_id"] not in seen_urls:
+                seen_urls.add(r["conv_id"])
+                originals.append((r["conv_id"], r["role"], r["tool"]))
         if not originals:
             st.update({"download": 100, "index": 100, "state": "done"})
             return st
@@ -135,9 +153,10 @@ def crawl_wet(
                 break  # the reference job's quirk, CrawlJob.cs:100
 
         target_root = f"{root_dir}/{target}"
+        target_eng = _target_engine(spark, target_root)
         to_read: list[str] = []
         for wid in wet_ids:
-            if _target_has_file(spark, target_root, wid):
+            if _target_has_file(target_eng, wid):
                 st["skipped_files"].append(wid)
             elif not os.path.exists(os.path.join(wet_dir, wid)):
                 # the reference would download from the CommonCrawl
@@ -173,10 +192,17 @@ def crawl_wet(
                     F.lit(None).cast("timestamp").alias("ts"),
                 )
             )
-            n = batch.count()
-            if n:
-                append_docs(spark, batch, target_root)
-                written += n
+            # the WET scan + broadcast join is the job's dominant I/O;
+            # persist the bounded batch so count() and the segment build
+            # share one pass over the file instead of scanning it twice
+            batch = batch.persist()
+            try:
+                n = batch.count()
+                if n:
+                    append_docs(spark, batch, target_root)
+                    written += n
+            finally:
+                batch.unpersist()
         st.update({"index": 100, "written": written,
                    "state": st["state"] if st["state"] == "error"
                    else "done"})
@@ -198,9 +224,19 @@ class CrawlQueue:
 
     def enqueue(self, fn: Callable[[dict], dict],
                 crawlid: str | None = None) -> str:
+        """Start a job.  A caller-supplied crawlid that still names a
+        LIVE job (queued/running) is rejected — replacing the entry
+        would orphan the running job's status dict and race two writers
+        on the same target collection; a terminal id may be reused
+        (re-running a finished job is the retry path)."""
         cid = crawlid or str(uuid.uuid4())
         st: dict = {"state": "queued"}
         with self._lock:
+            prev = self._status.get(cid)
+            if prev is not None and prev.get("state") in (
+                    "queued", "running"):
+                raise ValueError(f"crawl {cid} is already "
+                                 f"{prev['state']}")
             self._status[cid] = st
         t = threading.Thread(target=fn, args=(st,), daemon=True)
         t.start()

@@ -2294,6 +2294,8 @@ def multi_search(
     engines: dict[str, SearchEngine],
     query: dict | Query,
     k: int = 10,
+    skip: int = 0,
+    select: list[str] | None = None,
     term_identity: str = "surface",
 ) -> DataFrame:
     """X9 multi-collection search: one query spans collections; result
@@ -2303,35 +2305,47 @@ def multi_search(
     Reducer.cs:9).  Per-collection top-k, union, then one global top-k
     (TakeOrderedAndProject).
 
-    The per-collection ``limit(k)`` BEFORE the docs join is load-bearing
-    at scale: the broadcast side is k rows, never the full ranked frame
-    (a hot-term query over a large collection would otherwise broadcast
-    millions of rows to every executor).  It cannot change results: the
-    global order restricted to one collection is (score desc, doc_id
-    asc) — doc_id order == (conv_id, turn_idx) order by construction
-    (ids.py) — so the global top-k is contained in the union of the
-    per-collection top-k."""
+    The per-collection ``limit(k + skip)`` BEFORE the docs join is
+    load-bearing at scale: the broadcast side is at most k+skip rows,
+    never the full ranked frame (a hot-term query over a large
+    collection would otherwise broadcast millions of rows to every
+    executor).  It cannot change results: the global order restricted to
+    one collection is (score desc, doc_id asc) — doc_id order ==
+    (conv_id, turn_idx) order by construction (ids.py) — so global ranks
+    1..skip+k are contained in the union of the per-collection
+    top-(skip+k), and page (skip, k) of the global order survives the
+    prune.  ``select`` projects extra stored doc columns (present in
+    every searched collection) alongside the fixed
+    (collection, conv_id, turn_idx, score) keys."""
+    extra = [c for c in (select or [])
+             if c not in ("doc_id", "conv_id", "turn_idx",
+                          "collection", "score")]
     parts = []
     for name, eng in engines.items():
         q = parse_query(query) if isinstance(query, dict) else query
         ranked = (
             eng._ranked(q, term_identity)
             .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(k)
+            .limit(k + skip)
         )
-        docs = eng.documents().select("doc_id", "conv_id", "turn_idx")
+        docs = eng.documents().select(
+            "doc_id", "conv_id", "turn_idx", *extra)
         parts.append(
             docs.join(F.broadcast(ranked), "doc_id")
             .select(
                 F.lit(name).alias("collection"),
                 "conv_id",
                 "turn_idx",
+                *extra,
                 "score",
             )
         )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out.orderBy(
+    out = out.orderBy(
         F.desc("score"), F.asc("collection"), F.asc("conv_id"), F.asc("turn_idx")
-    ).limit(k)
+    )
+    if skip:
+        out = out.offset(skip)
+    return out.limit(k)

@@ -346,7 +346,14 @@ class ResinHttpServer:
                     eng.refresh()
             return res
 
-        cid = self._crawl_queue.enqueue(run, crawlid)
+        try:
+            cid = self._crawl_queue.enqueue(run, crawlid)
+        except ValueError as e:
+            # duplicate live crawlid (e.g. a client retry while the
+            # first job still runs): conflict, don't start a second
+            # writer on the same target collection
+            h._send(409, {"error": str(e)})
+            return
         h._send(202, {"crawlid": cid, "state": "queued"})
 
     def _handle_status(self, h, qs):

@@ -74,6 +74,15 @@ def test_multi_collection_search(spark, transcripts, engine, tmp_path):
            for r in hits]
     assert got == want
 
+    # skip pages the GLOBAL order (page 2 == ranks skip..skip+k of the
+    # full merged rank), select projects extra stored doc columns
+    page = multi_search({"a": engine, "b": eng_b},
+                        {"or": {"text": "banana"}}, k=5, skip=3,
+                        select=["role"]).collect()
+    assert [(r["collection"], r["conv_id"], r["turn_idx"], r["score"])
+            for r in page] == want[3:8]
+    assert all(isinstance(r["role"], str) for r in page)
+
 
 def test_parse_flat_multi_field():
     q = parse_flat("search", ["text", "role"], op="and", collection="c")

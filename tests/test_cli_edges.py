@@ -266,3 +266,11 @@ def test_cli_truncate_index_and_slice(spark, transcripts, tmp_path,
                      "--length", "100"]) == 0
     assert out.read_bytes() == bytes(range(100))
     assert os.path.getsize(out) == 100
+    # length past EOF copies what exists and reports the TRUE byte count
+    assert cli.main(["slice", "--source", str(big), "--result", str(out),
+                     "--length", "999999"]) == 0
+    assert "wrote 1024 bytes" in capsys.readouterr().out
+    assert out.read_bytes() == bytes(range(256)) * 4
+    # negative length is a usage error, not a whole-file copy
+    assert cli.main(["slice", "--source", str(big), "--result", str(out),
+                     "--length", "-1"]) == 2

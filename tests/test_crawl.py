@@ -214,3 +214,119 @@ def test_http_crawl_route_and_status_poll(spark, tmp_path, crawl_root):
             raise AssertionError("expected 404")
         except urllib.error.HTTPError as e:
             assert e.code == 404
+
+
+def test_crawl_multi_collection_with_paging(spark, tmp_path, crawl_root):
+    """A crawl spanning several source collections (the reference's
+    string[] collection parameter, CrawlController.cs:41-49) routes
+    through multi_search with the stored role/tool fields projected and
+    skip plumbed: all named files across collections are ingested, and a
+    skip past every hit writes nothing."""
+    import shutil
+
+    from resin_spark.build import build_index
+    from resin_spark.crawl import crawl_wet
+    from resin_spark.executor import SearchEngine
+    from resin_spark.fixtures import TRANSCRIPT_SCHEMA
+
+    root_dir = str(tmp_path / "srv_mc")
+    shutil.copytree(crawl_root, root_dir)
+    shutil.rmtree(f"{root_dir}/cc_wet", ignore_errors=True)
+    # second source collection whose only doc names fileB
+    build_index(
+        spark,
+        spark.createDataFrame(
+            [("http://ex.com/b1", 0, "Title B1", "zebra metadata delta",
+              WARC_B, None)], TRANSCRIPT_SCHEMA),
+        f"{root_dir}/cc_wat2", write_doclens=True)
+
+    args = (spark, root_dir, ["cc_wat", "cc_wat2"], "zebra metadata",
+            ["text"], f"{root_dir}/wet")
+    st = crawl_wet(*args, op="or", take=10, first_file_only=False)
+    assert st["state"] == "done" and st["errors"] == [], st
+    # hits span both collections -> both WET files read; b1 appears in
+    # both sources but WET_B is read once (distinct file ids)
+    assert st["written"] == 3
+    rows = {r["conv_id"]: r for r in
+            SearchEngine(spark, f"{root_dir}/cc_wet")
+            .documents().collect()}
+    assert sorted(rows) == ["http://ex.com/a1", "http://ex.com/a2",
+                            "http://ex.com/b1"]
+    assert rows["http://ex.com/b1"]["role"] == "Title B1"
+    assert rows["http://ex.com/b1"]["tool"] == WET_B
+
+    # skip beyond every hit: empty page, clean no-op run
+    st2 = crawl_wet(spark, root_dir, ["cc_wat", "cc_wat2"],
+                    "zebra metadata", ["text"], f"{root_dir}/wet",
+                    op="or", take=10, skip=50)
+    assert st2["state"] == "done" and st2["written"] == 0
+
+
+def test_crawl_queue_rejects_live_duplicate_id(spark, tmp_path,
+                                               crawl_root):
+    """Re-POSTing a crawlid while its job is still live is a 409 — the
+    second request must not orphan the running job's status dict or
+    start a second writer on the same collection; a terminal id may be
+    reused."""
+    import shutil
+    import threading
+
+    from resin_spark.crawl import CrawlQueue
+    from resin_spark.http import ResinHttpServer
+
+    q = CrawlQueue()
+    gate = threading.Event()
+
+    def slow(st):
+        st["state"] = "running"
+        gate.wait(30)
+        st["state"] = "done"
+        return st
+
+    q.enqueue(slow, "dup")
+    with pytest.raises(ValueError):
+        q.enqueue(slow, "dup")
+    gate.set()
+    deadline = time.monotonic() + 10
+    while q.get_status("dup")["state"] != "done":
+        assert time.monotonic() < deadline
+        time.sleep(0.02)
+    # terminal id is reusable (retry path)
+    gate2 = threading.Event()
+    gate2.set()
+
+    def fast(st):
+        st["state"] = "done"
+        return st
+
+    assert q.enqueue(fast, "dup") == "dup"
+
+    # HTTP surface: the conflict is a 409, and the first job's status
+    # stays observable
+    root_dir = str(tmp_path / "srv_dup")
+    shutil.copytree(crawl_root, root_dir)
+    shutil.rmtree(f"{root_dir}/cc_wet", ignore_errors=True)
+    with ResinHttpServer(spark, root_dir) as srv:
+        params = urlencode([("collection", "cc_wat"),
+                            ("q", "zebra metadata"), ("field", "text"),
+                            ("job", "CCC"), ("OR", ""),
+                            ("crawlid", "job-x")])
+        url = f"http://{srv.host}:{srv.port}/crawl?{params}"
+        with urllib.request.urlopen(
+                urllib.request.Request(url, method="POST")) as resp:
+            assert resp.status == 202
+        # immediate duplicate: either still live (409) or already done
+        # (202, terminal reuse) — never a silent replacement
+        try:
+            with urllib.request.urlopen(
+                    urllib.request.Request(url, method="POST")) as resp:
+                assert resp.status == 202
+        except urllib.error.HTTPError as e:
+            assert e.code == 409
+        deadline = time.monotonic() + 120
+        while time.monotonic() < deadline:
+            st, _ = _get(srv, "/status", crawlid="job-x")
+            if st["state"] in ("done", "error"):
+                break
+            time.sleep(0.3)
+        assert st["state"] == "done"

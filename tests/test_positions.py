@@ -424,3 +424,22 @@ def test_append_explicit_positions_ignored_on_existing(
     post = B.read_postings(spark, pos)
     assert "positions_bin" in post.columns
     assert post.filter(F.col("positions_bin").isNull()).count() == 0
+
+
+def test_append_positions_honored_after_truncate_index(
+        spark, transcripts, tmp_path_factory):
+    """truncate_index leaves lineage receipts behind but removes the
+    index — layout-wise that state is a brand-new collection, so the
+    first append's explicit positions flag must be honored again (a
+    positionless collection can be rebuilt positional via
+    truncate-index + append, and vice versa)."""
+    root = str(tmp_path_factory.mktemp("truncpos") / "collection")
+    half1 = transcripts.filter(F.col("conv_id") < "conv00000020")
+    B.build_index(spark, half1, root, positions=False)
+    assert "positions_bin" not in B.read_postings(spark, root).columns
+
+    api.truncate_index(spark, root)
+    api.append_docs(spark, half1, root, positions=True)
+    post = B.read_postings(spark, root)
+    assert "positions_bin" in post.columns
+    assert post.filter(F.col("positions_bin").isNull()).count() == 0
