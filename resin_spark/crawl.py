@@ -215,20 +215,44 @@ def crawl_wet(
 class CrawlQueue:
     """AsyncJob queue analog (the reference enqueues CrawlJobs on a
     background queue and the status page polls GetStatus(crawlid),
-    CrawlController.cs:72-90 / StatusController.cs:25-41): one daemon
-    thread per job, statuses kept by crawl id."""
+    CrawlController.cs:72-90 / StatusController.cs:25-41): ONE daemon
+    worker drains the queue SEQUENTIALLY, statuses kept by crawl id.
+
+    Sequential processing is load-bearing, not a simplification: two
+    crawl jobs running concurrently against the same target collection
+    would both read the same ``completed_segments`` set, compute the
+    same next segment id, and race the conv-dim extension — two writers
+    on one index.  The reference gets the same guarantee from its
+    single-consumer job queue."""
 
     def __init__(self) -> None:
+        import queue
+
         self._status: dict[str, dict] = {}
         self._lock = threading.Lock()
+        self._q: "queue.Queue[tuple[Callable[[dict], dict], dict]]" = (
+            queue.Queue())
+        self._worker: threading.Thread | None = None
+
+    def _drain(self) -> None:
+        while True:
+            fn, st = self._q.get()
+            try:
+                fn(st)
+            except Exception as e:  # fn's own catch-all should make
+                # this unreachable; never kill the worker
+                st.setdefault("errors", []).append(
+                    f"{type(e).__name__}: {e}")
+                st["state"] = "error"
+            finally:
+                self._q.task_done()
 
     def enqueue(self, fn: Callable[[dict], dict],
                 crawlid: str | None = None) -> str:
-        """Start a job.  A caller-supplied crawlid that still names a
+        """Queue a job.  A caller-supplied crawlid that still names a
         LIVE job (queued/running) is rejected — replacing the entry
-        would orphan the running job's status dict and race two writers
-        on the same target collection; a terminal id may be reused
-        (re-running a finished job is the retry path)."""
+        would orphan the live job's status dict; a terminal id may be
+        reused (re-running a finished job is the retry path)."""
         cid = crawlid or str(uuid.uuid4())
         st: dict = {"state": "queued"}
         with self._lock:
@@ -238,8 +262,11 @@ class CrawlQueue:
                 raise ValueError(f"crawl {cid} is already "
                                  f"{prev['state']}")
             self._status[cid] = st
-        t = threading.Thread(target=fn, args=(st,), daemon=True)
-        t.start()
+            if self._worker is None or not self._worker.is_alive():
+                self._worker = threading.Thread(
+                    target=self._drain, daemon=True)
+                self._worker.start()
+        self._q.put((fn, st))
         return cid
 
     def get_status(self, crawlid: str) -> dict | None:

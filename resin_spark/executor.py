@@ -284,7 +284,14 @@ class SearchEngine:
         return {(r["field"], r["term"]): r["df"] for r in df_rows}
 
     def refresh(self) -> None:
-        """Drop cached listings/stats after new segments are appended."""
+        """Drop EVERY cached listing/stat after new segments are
+        appended: the Spark readers, the embedded pyarrow datasets
+        (their file listing is materialized eagerly at construction, so
+        an appended segment is invisible to a cached dataset even though
+        the artifact dir is unchanged), and the decoded-postings /
+        block-stats LRUs (a term's postings grow under append — a stale
+        LRU hit, or the lru_warm fast path built on it, would keep
+        serving the pre-append snapshot)."""
         self._docs_df = None
         self._postings_df = None
         self._stats = None
@@ -294,6 +301,11 @@ class SearchEngine:
         if self._term_dir is not None:
             self._term_dir.unpersist()
             self._term_dir = None
+        self._pa_cache.clear()
+        self._term_lru.clear()
+        self._term_lru_postings = 0
+        self._stats_lru.clear()
+        self._stats_lru_blocks = 0
 
     def doc_count(self) -> int:
         """S13 — GetDocCount (SessionFactory.cs:54-62).  Every stats row

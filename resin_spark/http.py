@@ -210,7 +210,8 @@ class ResinHttpServer:
             total = eng.search(q, k=0).count() if p["total"] else None
         else:
             engines = {c: self.engine(c) for c in p["collections"]}
-            out = multi_search(engines, q, k=p["take"])
+            out = multi_search(engines, q, k=p["take"], skip=p["skip"],
+                               select=p["select"])
             total = None
         rows = self._rows_json(out)
         h._send(200, rows, {"X-TotalDocumentCount":

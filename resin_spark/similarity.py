@@ -450,8 +450,15 @@ def _layout_df(spark, root: str):
     data_dir = os.path.join(root, "data")
     # keyed on applicationId, not id(spark): id() values are reused after
     # a stopped session is garbage-collected, which could serve a new
-    # session a DataFrame bound to the dead one
-    key = (spark.sparkContext.applicationId, data_dir)
+    # session a DataFrame bound to the dead one.  applicationId itself is
+    # a py4j round trip, so it is memoized ON the SparkContext object —
+    # an attribute dies with the context, unlike an id()-keyed dict entry
+    sc = spark.sparkContext
+    app_id = getattr(sc, "_resin_app_id", None)
+    if app_id is None:
+        app_id = sc.applicationId
+        sc._resin_app_id = app_id
+    key = (app_id, data_dir)
     df = _LAYOUT_DF_CACHE.get(key)
     if df is None:
         df = spark.read.parquet(data_dir)

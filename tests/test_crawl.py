@@ -330,3 +330,43 @@ def test_crawl_queue_rejects_live_duplicate_id(spark, tmp_path,
                 break
             time.sleep(0.3)
         assert st["state"] == "done"
+
+
+def test_crawl_queue_processes_jobs_sequentially():
+    """The queue is a single-consumer queue like the reference's
+    AsyncJob processor: a second job (ANY crawlid) must not start while
+    the first is live — two concurrent jobs targeting the same
+    collection would race segment-id assignment and the conv-dim
+    extension (two writers, one index)."""
+    import threading
+
+    from resin_spark.crawl import CrawlQueue
+
+    q = CrawlQueue()
+    gate = threading.Event()
+
+    def blocking(st):
+        st["state"] = "running"
+        gate.wait(30)
+        st["state"] = "done"
+        return st
+
+    def instant(st):
+        st["state"] = "running"
+        st["state"] = "done"
+        return st
+
+    id1 = q.enqueue(blocking, "seq-1")
+    id2 = q.enqueue(instant, "seq-2")
+    deadline = time.monotonic() + 10
+    while q.get_status(id1)["state"] != "running":
+        assert time.monotonic() < deadline
+        time.sleep(0.01)
+    time.sleep(0.2)  # give a (buggy) parallel runner time to start job2
+    assert q.get_status(id2)["state"] == "queued"
+    gate.set()
+    deadline = time.monotonic() + 10
+    while q.get_status(id2)["state"] != "done":
+        assert time.monotonic() < deadline
+        time.sleep(0.01)
+    assert q.get_status(id1)["state"] == "done"

@@ -163,3 +163,72 @@ def test_get_query_phrase(http_server, engine):
             for r in rows] == want and rows
     full = engine.phrase_search("term97 hotterm", k=0).count()
     assert int(headers["X-TotalDocumentCount"]) == full == len(rows)
+
+
+def test_get_query_multi_collection_paging_and_select(spark, tmp_path,
+                                                      transcripts):
+    """GET /query with several collection params pages with skip and
+    projects select columns, equal to the direct multi_search call —
+    regression: the multi branch used to drop both params."""
+    from resin_spark.build import build_index
+    from resin_spark.executor import SearchEngine, multi_search
+    from resin_spark.http import ResinHttpServer
+    from resin_spark.query import parse_flat
+
+    root_dir = str(tmp_path / "httpmc")
+    rows = transcripts.limit(40).collect()
+    half = len(rows) // 2
+    build_index(spark, spark.createDataFrame(rows[:half],
+                                             transcripts.schema),
+                f"{root_dir}/ca", write_doclens=True)
+    build_index(spark, spark.createDataFrame(rows[half:],
+                                             transcripts.schema),
+                f"{root_dir}/cb", write_doclens=True)
+    engines = {"ca": SearchEngine(spark, f"{root_dir}/ca"),
+               "cb": SearchEngine(spark, f"{root_dir}/cb")}
+    q = parse_flat("banana", ["text"], op="or", select=["role"])
+    want = [((r["collection"], r["conv_id"], r["turn_idx"]),
+             r["role"], r["score"])
+            for r in multi_search(engines, q, k=3, skip=2,
+                                  select=["role"]).collect()]
+    assert want, "fixture must hit both pages"
+    with ResinHttpServer(spark, root_dir) as srv:
+        got, _ = _get(srv, "/query", collection=["ca", "cb"],
+                      q="banana", field="text", OR="", take=3, skip=2,
+                      select="role")
+        assert [((r["collection"], r["conv_id"], r["turn_idx"]),
+                 r["role"], pytest.approx(r["score"])) for r in got] \
+            == want
+
+
+def test_write_visible_to_warm_engine(spark, tmp_path, transcripts):
+    """refresh() must invalidate the embedded pyarrow dataset listing
+    and the decoded-postings/block-stats LRUs: an engine that already
+    served the queried term (warm caches) must see a subsequent append
+    — regression: the stale dataset hid the new segment and the term
+    LRU kept serving the pre-append postings."""
+    from resin_spark.build import build_index
+    from resin_spark.http import ResinHttpServer
+
+    root_dir = str(tmp_path / "httpwarm")
+    build_index(spark, transcripts.limit(20), f"{root_dir}/c3",
+                write_doclens=True)
+    with ResinHttpServer(spark, root_dir) as srv:
+        # warm the server engine on the term we're about to append
+        rows0, _ = _get(srv, "/query", collection="c3", q="banana",
+                        field="text", OR="", take=50)
+        doc = {"conv_id": "convwarm01", "turn_idx": 0, "role": "user",
+               "text": "banana warmcachetoken", "tool": "",
+               "ts": "2025-06-01 10:00:00"}
+        _post(srv, "/write", [doc], collection="c3")
+        # brand-new term lives only in the appended segment
+        rows1, _ = _get(srv, "/query", collection="c3",
+                        q="warmcachetoken", field="text", OR="", take=3)
+        assert [(r["conv_id"], r["turn_idx"]) for r in rows1] \
+            == [("convwarm01", 0)]
+        # warmed term picks up the appended posting too
+        rows2, _ = _get(srv, "/query", collection="c3", q="banana",
+                        field="text", OR="", take=50)
+        assert len(rows2) == len(rows0) + 1
+        assert ("convwarm01", 0) in {(r["conv_id"], r["turn_idx"])
+                                     for r in rows2}
