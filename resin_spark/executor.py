@@ -1557,6 +1557,11 @@ class SearchEngine:
     _AND_SEED_MAX_POSTINGS = 500_000
     _AND_BLOCK_IN_MAX = 8192
     _AND_COLLECT_MAX_POSTINGS = 4_000_000
+    # serve block-restricted collects from the term LRU (see
+    # _collect_key_postings).  Forced-route test fixtures set this False
+    # so the and_pruned strategy keeps exercising the restricted read
+    # even on a warm shared engine.
+    _AND_LRU_SERVE = True
 
     @staticmethod
     def _flat_not(nq: Query) -> bool:
@@ -1573,25 +1578,36 @@ class SearchEngine:
         return q.and_q is None or self._pure_and(q.and_q)
 
     def _collect_key_postings(self, key: tuple[str, str],
-                              blocks: "list[int] | None"):
+                              blocks: "list[int] | None",
+                              total_df: int | None = None):
         """Collected + decoded (sorted-unique doc_ids, tf, dl) arrays of
         one (field, term) key, optionally restricted to candidate blocks
         (pushed predicate).  None when the collect exceeds the driver
-        cap (caller falls back to the distributed fold)."""
+        cap (caller falls back to the distributed fold).
+
+        The term LRU serves RESTRICTED requests too: the cached full-term
+        arrays are a superset of any block-restricted read, and a superset
+        is fold-identical — the caller's intersection prunes against it,
+        and _score_mask_classes' searchsorted lands on the same rows.  So
+        a warm repeat of an over-cap AND (the q_multifield bench shape:
+        hot dimension term × mid-df seed) skips the dominant re-read +
+        re-decode entirely.  Any cached entry is within the LRU's own
+        4M-posting bound == _AND_COLLECT_MAX_POSTINGS, so the cap check
+        is not bypassed."""
         import numpy as np
 
         from resin_spark.postings import decode_counts, decode_doc_ids
 
         f, tok = key
-        if blocks is None:
-            got = self._lru_get(key)
-            if got is not None:
-                self.last_and_stats[key] = {
-                    "blocks_filter": None,
-                    "postings_collected": int(len(got[0])),
-                    "lru_hit": True,
-                }
-                return got
+        got = (self._lru_get(key)
+               if blocks is None or self._AND_LRU_SERVE else None)
+        if got is not None:
+            self.last_and_stats[key] = {
+                "blocks_filter": None if blocks is None else len(blocks),
+                "postings_collected": int(len(got[0])),
+                "lru_hit": True,
+            }
+            return got
         cols = ("df_block", "doc_ids_bin", "tfs_bin", "dls_bin")
         rows = None
         if self._pa_dataset("postings") is not None:
@@ -1624,9 +1640,14 @@ class SearchEngine:
         np.add.at(tf, inv, tfs)
         dl = np.zeros(len(uid), dtype=np.int64)
         np.maximum.at(dl, inv, dls)
-        if blocks is None:
-            # only FULL-term reads are cacheable (block-restricted
-            # collects are specific to one query's intersection)
+        if blocks is None or (total_df is not None
+                              and n_postings == total_df):
+            # full-term reads are cacheable — including a RESTRICTED read
+            # that returned the term's entire df (the candidate blocks
+            # covered every posting: n_postings and the mirror's df are
+            # the same Σ df_block quantity, so equality is exact).  A
+            # genuinely partial collect stays uncached: it is specific to
+            # one query's intersection.
             self._lru_put(key, (uid, tf, dl))
         return uid, tf, dl
 
@@ -1663,13 +1684,21 @@ class SearchEngine:
         inter = None
         blocks: list[int] | None = None
         for pos, i in enumerate(order):
-            got = self._collect_key_postings(keys[i], blocks)
+            got = self._collect_key_postings(keys[i], blocks,
+                                             total_df=df_by_key[i])
             if got is None:
                 return None
             arrs[i] = got
             uid = got[0]
-            inter = uid if pos == 0 else inter[
-                np.isin(inter, uid, assume_unique=True)]
+            if pos == 0:
+                inter = uid
+            elif len(uid) == 0:
+                inter = uid
+            else:
+                # both sides sorted-unique: searchsorted membership beats
+                # np.isin (which re-sorts the pair on every step)
+                j = np.minimum(np.searchsorted(uid, inter), len(uid) - 1)
+                inter = inter[uid[j] == inter]
             if not len(inter):
                 # Reducer quirk (Reducer.cs:24-39): a term merged into an
                 # EMPTY accumulator re-inserts all its postings, so an

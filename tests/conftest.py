@@ -109,9 +109,13 @@ def engine_s(request, engine):
             engine.io_mode = prev
     elif cap is not None:
         engine._DRIVER_SCORE_MAX_POSTINGS = cap
+        # and_pruned must keep exercising the restricted READ even when
+        # the shared engine's term LRU is warm from earlier strategies
+        engine._AND_LRU_SERVE = False
         try:
             yield engine
         finally:
             del engine.__dict__["_DRIVER_SCORE_MAX_POSTINGS"]
+            engine.__dict__.pop("_AND_LRU_SERVE", None)
     else:
         yield engine

@@ -163,9 +163,9 @@ def test_and_block_pruned_path(engine, oracle, monkeypatch):
     seen_blocks = []
     orig = engine._collect_key_postings
 
-    def spy(key, blocks):
+    def spy(key, blocks, **kw):
         seen_blocks.append(blocks)
-        return orig(key, blocks)
+        return orig(key, blocks, **kw)
 
     def boom(*a, **kw):
         raise AssertionError("distributed fold ran for the AND path")

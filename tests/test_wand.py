@@ -81,6 +81,17 @@ def test_wand_prunes_on_zipf_corpus(spark, tmp_path):
     assert hot["postings_collected"] < 0.7 * hot_df, (st, hot_df)
     assert st[("text", "wandrare")]["blocks_filter"] is None  # seed
 
+    # warm repeat: the seed's FULL read was cached, so the repeat serves
+    # it from the term LRU; the broad term's PARTIAL restricted read
+    # (<0.7 df above) must NOT have been cached — a partial collect is
+    # specific to one query's intersection — so its restricted read
+    # re-runs
+    got2 = pruned.topk(q, k=10)
+    assert got2 == want_hits
+    st2 = pruned.last_and_stats
+    assert st2[("text", "wandrare")].get("lru_hit"), st2
+    assert not st2[("text", "wandhot")].get("lru_hit"), st2
+
     # block-max SINGLE-term driver path on the same corpus: blocks decode
     # in upper-bound order (the bursty tf=6 early-conv blocks first) and
     # iteration stops once the k-th hit beats every unread bound — hits
@@ -290,3 +301,25 @@ def test_blockmax_caches(spark, engine):
         del engine.__dict__["_BLOCKMAX_FLAT_MIN_POSTINGS"]
         engine.__dict__.pop("_BLOCKMAX_WARM_FALLBACK", None)
         engine.clear_cache()
+
+
+def test_and_pruned_restricted_reads_use_term_lru(spark, index_root):
+    """Warm repeats of the over-cap AND path (the q_multifield bench
+    shape) serve EVERY key from the term LRU: the seed's full read
+    caches as before, and a restricted read that returned the term's
+    entire df (single-block fixture: the candidate block list covers
+    every posting; n_postings and the mirror df are the same Σ df_block
+    quantity) is a full read and caches too — so the repeat does zero
+    postings IO."""
+    from resin_spark.executor import SearchEngine
+
+    eng = SearchEngine(spark, index_root)
+    eng._DRIVER_SCORE_MAX_POSTINGS = 0  # force the pruned AND route
+    q = {"and": {"text": "apple hotterm"}}
+    want = eng.topk(q, k=10)
+    st1 = eng.last_and_stats
+    assert st1 and not any(v.get("lru_hit") for v in st1.values()), st1
+    got = eng.topk(q, k=10)
+    assert got == want
+    st2 = eng.last_and_stats
+    assert st2 and all(v.get("lru_hit") for v in st2.values()), st2
