@@ -104,10 +104,25 @@ class SearchEngine:
         self._stats_lru: "OrderedDict[tuple, tuple | None]" = OrderedDict()
         self._stats_lru_blocks = 0
         self.stats_lru_misses = 0  # diagnostic counter (tests/bench)
+        # positional-occurrence LRU: (field, term) -> (drep, pos) int64
+        # arrays (one row per occurrence, PRE-candidate-filter), fed by
+        # _phrase_verify_positions_driver when a read turned out to cover
+        # the term's entire df — the same full-read-only rule as the term
+        # LRU.  A repeat phrase query then skips the positional read +
+        # varint decode entirely.  Bounded by total occurrences; dropped
+        # by clear_cache()/refresh() with the other caches.
+        self._pos_lru: "OrderedDict[tuple, tuple]" = OrderedDict()
+        self._pos_lru_occ = 0
         self.last_and_stats: dict = {}
         self.last_blockmax_stats: "dict | None" = None
 
     _TERM_LRU_MAX_POSTINGS = 4_000_000  # ~100 MB decoded
+    _POS_LRU_MAX_OCC = 4_000_000  # ~64 MB decoded occurrence rows
+    # serve phrase verifies from the positional LRU (see
+    # _phrase_verify_positions_driver).  Forced-route test fixtures set
+    # this False so the driver_sparkio strategy keeps exercising the
+    # Spark read on a warm shared engine.
+    _POS_LRU_SERVE = True
 
     def _lru_get(self, key: tuple):
         got = self._term_lru.get(key)
@@ -127,6 +142,25 @@ class SearchEngine:
         while self._term_lru_postings > self._TERM_LRU_MAX_POSTINGS:
             _, ev = self._term_lru.popitem(last=False)
             self._term_lru_postings -= len(ev[0])
+
+    def _pos_lru_get(self, key: tuple):
+        got = self._pos_lru.get(key)
+        if got is not None:
+            self._pos_lru.move_to_end(key)
+        return got
+
+    def _pos_lru_put(self, key: tuple, arrs: tuple) -> None:
+        n = len(arrs[0])
+        if n > self._POS_LRU_MAX_OCC:
+            return
+        old = self._pos_lru.pop(key, None)
+        if old is not None:
+            self._pos_lru_occ -= len(old[0])
+        self._pos_lru[key] = arrs
+        self._pos_lru_occ += n
+        while self._pos_lru_occ > self._POS_LRU_MAX_OCC:
+            _, ev = self._pos_lru.popitem(last=False)
+            self._pos_lru_occ -= len(ev[0])
 
     # ------------------------------------------------------- embedded IO
     # term-df mirrors built by the embedded path group over the postings
@@ -306,6 +340,8 @@ class SearchEngine:
         self._term_lru_postings = 0
         self._stats_lru.clear()
         self._stats_lru_blocks = 0
+        self._pos_lru.clear()
+        self._pos_lru_occ = 0
 
     def doc_count(self) -> int:
         """S13 — GetDocCount (SessionFactory.cs:54-62).  Every stats row
@@ -651,29 +687,45 @@ class SearchEngine:
         blist = ([int(b) for b in blocks]
                  if len(blocks) <= self._AND_BLOCK_IN_MAX else None)
         uniq = sorted(set(toks))
+        # warm terms come off the positional-occurrence LRU (full-term
+        # (drep, pos) arrays — a superset of any block restriction, and
+        # the candidate filter below prunes them identically); only LRU
+        # misses are read + decoded
+        pos_cached: dict[str, tuple] = {}
+        miss = []
+        for t in uniq:
+            got = (self._pos_lru_get((field, t))
+                   if self._POS_LRU_SERVE else None)
+            if got is not None:
+                pos_cached[t] = got
+            else:
+                miss.append(t)
         cols = ("term", "sum_tf", "doc_ids_bin", "tfs_bin",
                 "positions_bin")
-        rows = None
-        if self._pa_dataset("postings") is not None:
-            import pyarrow.dataset as pads
+        rows = []
+        if miss:
+            rows = None
+            if self._pa_dataset("postings") is not None:
+                import pyarrow.dataset as pads
 
-            pa_f = (pads.field("field") == field) & pads.field(
-                "term").isin(uniq)
-            if blist is not None:
-                pa_f = pa_f & pads.field("block_id").isin(blist)
-            try:
-                rows = self._pa_postings_rows(pa_f, cols)
-            except Exception:
-                # mixed-layout dataset whose discovered schema lacks the
-                # positions column — read through Spark (nulls surface
-                # there and trigger the text-verify fallback below)
-                rows = None
-        if rows is None:
-            pred = (F.col("field") == field) & F.col("term").isin(uniq)
-            if blist is not None:
-                pred = pred & F.col("block_id").isin(blist)
-            rows = self.postings().filter(pred).select(*cols).collect()
-        per_tok: dict[str, list] = {t: [] for t in uniq}
+                pa_f = (pads.field("field") == field) & pads.field(
+                    "term").isin(miss)
+                if blist is not None:
+                    pa_f = pa_f & pads.field("block_id").isin(blist)
+                try:
+                    rows = self._pa_postings_rows(pa_f, cols)
+                except Exception:
+                    # mixed-layout dataset whose discovered schema lacks
+                    # the positions column — read through Spark (nulls
+                    # surface there and trigger the text-verify fallback
+                    # below)
+                    rows = None
+            if rows is None:
+                pred = (F.col("field") == field) & F.col("term").isin(miss)
+                if blist is not None:
+                    pred = pred & F.col("block_id").isin(blist)
+                rows = self.postings().filter(pred).select(*cols).collect()
+        per_tok: dict[str, list] = {t: [] for t in miss}
         total_pos = 0
         for r in rows:
             if r["positions_bin"] is None:
@@ -684,22 +736,35 @@ class SearchEngine:
             # decoded occurrence volume (Σ tf, i.e. positions, can far
             # exceed Σ df for a hot term in long docs) would not be
             # driver-sized — hand the query to the distributed
-            # positional verify
+            # positional verify.  Cached terms don't count against the
+            # cap: their decode cost is already paid and their arrays
+            # already live in driver RAM (bounded by the pos LRU budget).
             return None
+        dfm = self._term_df_driver_map()
         dec: dict[str, tuple] = {}
         max_pos = 0
         for t in uniq:
-            if not per_tok[t]:
-                return []  # a phrase token absent from candidate blocks
-            dparts, pparts = [], []
-            for r in per_tok[t]:
-                tfs = decode_counts(bytes(r["tfs_bin"]))
-                dparts.append(
-                    np.repeat(decode_doc_ids(bytes(r["doc_ids_bin"])), tfs))
-                pparts.append(
-                    decode_positions(bytes(r["positions_bin"]), tfs))
-            drep = np.concatenate(dparts)
-            pos = np.concatenate(pparts)
+            if t in pos_cached:
+                drep, pos = pos_cached[t]
+            else:
+                if not per_tok[t]:
+                    return []  # phrase token absent from candidate blocks
+                dparts, pparts = [], []
+                ndocs = 0
+                for r in per_tok[t]:
+                    tfs = decode_counts(bytes(r["tfs_bin"]))
+                    ids = decode_doc_ids(bytes(r["doc_ids_bin"]))
+                    ndocs += len(ids)
+                    dparts.append(np.repeat(ids, tfs))
+                    pparts.append(
+                        decode_positions(bytes(r["positions_bin"]), tfs))
+                drep = np.concatenate(dparts)
+                pos = np.concatenate(pparts)
+                if dfm is not None and dfm.get((field, t)) == ndocs:
+                    # the read covered the term's ENTIRE df (the mirror
+                    # df is the same Σ df_block quantity) — cacheable as
+                    # a full decode, like the term LRU's rule
+                    self._pos_lru_put((field, t), (drep, pos))
             # keep only candidate docs' occurrences (dense index = rank
             # in the sorted candidate array, for compact packed keys)
             j = np.searchsorted(cand, drep)
@@ -2329,6 +2394,8 @@ class SearchEngine:
         self._term_lru_postings = 0
         self._stats_lru.clear()
         self._stats_lru_blocks = 0
+        self._pos_lru.clear()
+        self._pos_lru_occ = 0
 
 
 def multi_search(

@@ -134,10 +134,14 @@ def pos_engine_s(request, pos_engine):
     if request.param == "driver_sparkio":
         prev = pos_engine.io_mode
         pos_engine.io_mode = "spark"
+        # the Spark read must actually run even when the shared engine's
+        # positional LRU is warm from the driver-strategy pass
+        pos_engine._POS_LRU_SERVE = False
         try:
             yield pos_engine
         finally:
             pos_engine.io_mode = prev
+            pos_engine.__dict__.pop("_POS_LRU_SERVE", None)
     elif request.param == "distributed":
         pos_engine._DRIVER_SCORE_MAX_POSTINGS = -1
         try:
@@ -443,3 +447,45 @@ def test_append_positions_honored_after_truncate_index(
     post = B.read_postings(spark, root)
     assert "positions_bin" in post.columns
     assert post.filter(F.col("positions_bin").isNull()).count() == 0
+
+
+def test_phrase_positional_lru_warm_repeat(spark, pos_engine):
+    """A repeat phrase query serves its positional decodes from the
+    occurrence LRU: once the first run's reads covered each term's
+    entire df (single-block fixture), the repeat issues ZERO additional
+    postings reads (AND hits off the term LRU, positional arrays off the
+    pos LRU) with identical hits; clear_cache() re-colds both."""
+    pos_engine.clear_cache()
+    calls = []
+    orig = pos_engine._pa_postings_rows
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    pos_engine._pa_postings_rows = spy
+    try:
+        # "apple apples" is planted adjacently by the fixture generator
+        # (i % 17 == 3 docs), so the AND candidate set and the phrase
+        # result are both non-empty — the verify actually decodes
+        h1 = _collect(pos_engine.phrase_search("apple apples", k=10))
+        assert h1  # non-vacuous
+        n1 = len(calls)
+        assert n1 > 0  # cold run actually read postings
+        assert pos_engine._pos_lru  # full-df reads fed the pos LRU
+        h2 = _collect(pos_engine.phrase_search("apple apples", k=10))
+        assert h2 == h1
+        assert len(calls) == n1, "warm repeat re-read postings"
+        pos_engine.clear_cache()
+        assert not pos_engine._pos_lru
+        h3 = _collect(pos_engine.phrase_search("apple apples", k=10))
+        assert h3 == h1
+        assert len(calls) > n1  # cold again after clear_cache
+        # refresh() (the post-append invalidation) drops it too — a
+        # stale positional decode must not survive an append
+        assert pos_engine._pos_lru
+        pos_engine.refresh()
+        assert not pos_engine._pos_lru and pos_engine._pos_lru_occ == 0
+    finally:
+        del pos_engine._pa_postings_rows
+        pos_engine.clear_cache()
