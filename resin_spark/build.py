@@ -49,6 +49,15 @@ from resin_spark.postings import decode_counts, decode_doc_ids
 from resin_spark.tokenizer import chars_key_py, tokens_col
 
 DEFAULT_FIELDS = ("text", "role", "tool")
+
+# docs-table parquet row-group budget.  The query path fetches top-k
+# docs by decoding whole row groups; with Spark's 128 MB default a
+# 10-row point fetch decompresses millions of text rows.  parquet-mr
+# sizes groups on BUFFERED (compressed) bytes, so 2 MB ≈ 20k transcript
+# rows (~100 B/row compressed) — bounded per-hit decode at any corpus
+# size, negligible footer overhead, and even very short rows (~50 B)
+# stay under the targeted reader's _POINT_RG_MAX_ROWS gate.
+DOCS_ROW_GROUP_BYTES = 2 * 1024 * 1024
 # block = conv_slot >> CONV_BLOCK_BITS — 4096 conversations per block
 CONV_BLOCK_BITS = 12
 BLOCK_SHIFT = ids.TURN_BITS + CONV_BLOCK_BITS
@@ -1062,6 +1071,13 @@ def _build_segment(
         docs.drop("conv_slot", "segment")
         .sortWithinPartitions("doc_id")
         .write.mode("overwrite")
+        # bounded row groups: the top-k point fetch decodes whole row
+        # groups to extract single rows, so a 128 MB default group makes
+        # a 10-doc fetch decompress ~2M text rows.  8 MB (~25k rows)
+        # bounds per-hit decode at any corpus size — the 100 TB fetch
+        # path — and enables the targeted row-group reader
+        # (executor._docs_rg_index).
+        .option("parquet.block.size", str(DOCS_ROW_GROUP_BYTES))
         .parquet(f"{p_docs(root)}/segment={seg}")
     )
     docs = spark.read.parquet(f"{p_docs(root)}/segment={seg}")
@@ -1182,7 +1198,12 @@ def compact(spark: SparkSession, root: str) -> None:
             ).coalesce(1)
         else:
             out = df.drop("segment")
-        out.write.mode("overwrite").parquet(f"{root}/{name}{sfx}/segment=0")
+        w = out.write.mode("overwrite")
+        if name == "docs":
+            # keep the compacted docs table point-fetchable (see
+            # DOCS_ROW_GROUP_BYTES)
+            w = w.option("parquet.block.size", str(DOCS_ROW_GROUP_BYTES))
+        w.parquet(f"{root}/{name}{sfx}/segment=0")
         new_dirs[name] = f"{name}{sfx}"
 
     _write_pointer(spark, root, new_ver, new_dirs)  # THE commit point

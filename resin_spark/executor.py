@@ -1843,6 +1843,108 @@ class SearchEngine:
         take = order[skip:skip + k] if k else order[skip:]
         return [(int(all_dids[t]), float(all_scores[t])) for t in take]
 
+    # targeted point reads engage only when every docs row group is at
+    # most this many rows (the bounded-row-group layout build_index now
+    # writes); legacy 128 MB-group layouts keep the dataset scanner.
+    _POINT_RG_MAX_ROWS = 131_072
+
+    def _docs_rg_index(self):
+        """Row-group directory of the docs dataset for targeted point
+        reads: (mins, cum_max, entries) where entries are (min_doc_id,
+        max_doc_id, ParquetFile, group_idx) sorted by min.  None when any
+        group lacks doc_id stats, is oversized (legacy layout), or the
+        dataset is unavailable — callers fall back to the dataset
+        scanner.  Cached with the pa-dataset lifecycle: refresh() drops
+        it (an append adds files), clear_cache() keeps it (IO metadata,
+        not decoded query data — same contract as the cached datasets)."""
+        cached = self._pa_cache.get("__docs_rg__")
+        if cached is not None:
+            return None if cached == "n/a" else cached
+        import pyarrow.parquet as pq
+
+        ds = self._pa_dataset("docs")
+        out = "n/a"
+        # footer pass is once-per-engine and driver-local; still, bound
+        # the file count so a pathological layout cannot stall warmup
+        if ds is not None and len(ds.files) <= 4096:
+            entries = []
+            ok = True
+            for f in ds.files:
+                try:
+                    pf = pq.ParquetFile(f)
+                    md = pf.metadata
+                    ncols = md.num_columns
+                    names = [md.schema.column(i).name for i in range(ncols)]
+                    ci = names.index("doc_id")
+                except Exception:
+                    ok = False
+                    break
+                for g in range(md.num_row_groups):
+                    rg = md.row_group(g)
+                    if rg.num_rows == 0:
+                        continue
+                    st = rg.column(ci).statistics
+                    if (st is None or not st.has_min_max
+                            or rg.num_rows > self._POINT_RG_MAX_ROWS):
+                        ok = False
+                        break
+                    entries.append((int(st.min), int(st.max), pf, g))
+                if not ok:
+                    break
+            if ok and entries:
+                entries.sort(key=lambda e: (e[0], e[1]))
+                mins = [e[0] for e in entries]
+                cum, m = [], entries[0][1]
+                for e in entries:
+                    m = max(m, e[1])
+                    cum.append(m)
+                out = (mins, cum, entries)
+        self._pa_cache["__docs_rg__"] = out
+        return None if out == "n/a" else out
+
+    def _docs_point_table(self, need: list[int], names: list[str]):
+        """Arrow table of exactly the ``need`` doc rows via per-hit
+        row-group binary search (footer stats cached by _docs_rg_index) —
+        decode cost is the few covering row groups, never a dataset scan.
+        None = not eligible (legacy layout / partition column requested);
+        the caller uses the dataset-scanner read instead."""
+        import bisect
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        idxobj = self._docs_rg_index()
+        if idxobj is None:
+            return None
+        mins, cum, entries = idxobj
+        groups: dict[tuple, tuple] = {}
+        for d in need:
+            i = bisect.bisect_right(mins, d) - 1
+            # interval stabbing: files may interleave doc_id ranges (hash
+            # placement of contiguous conv buckets), so walk left over
+            # every group whose [min, max] covers d — cum_max bounds the
+            # walk; the final is_in filter discards false positives
+            while i >= 0 and cum[i] >= d:
+                e = entries[i]
+                if e[0] <= d <= e[1]:
+                    groups[(id(e[2]), e[3])] = e
+                i -= 1
+        if not groups:
+            return None
+        try:
+            parts = [pf.read_row_group(g, columns=names)
+                     for (_, _, pf, g) in groups.values()]
+        except Exception:
+            return None  # schema drift — scanner path
+        if any(n not in parts[0].column_names for n in names):
+            # pyarrow silently DROPS unknown names from ``columns`` —
+            # e.g. the hive partition column lives in the directory, not
+            # the file.  Refuse rather than return a narrower table.
+            return None
+        tbl = parts[0] if len(parts) == 1 else pa.concat_tables(parts)
+        return tbl.filter(pc.is_in(
+            tbl["doc_id"], value_set=pa.array(need, type=pa.int64())))
+
     def _fetch_hits(self, hits: list[tuple[int, float]],
                     sel: list[str] | None) -> DataFrame:
         """Materialize driver-computed (doc_id, score) hits: pushed-down
@@ -1855,16 +1957,23 @@ class SearchEngine:
             # embedded point fetch: read exactly the hit rows through
             # pyarrow (row-group stats prune on the doc_id filter — the
             # docs files are doc_id-sorted), merge scores driver-side,
-            # and hand Spark a k-row local frame.  Zero jobs.
+            # and hand Spark a k-row local frame.  Zero jobs.  The
+            # targeted row-group reader serves bounded-row-group layouts
+            # (decode ∝ covering groups); the dataset scanner covers
+            # everything else.
             import pyarrow.dataset as pads
             from pyspark.sql.types import DoubleType, StructField, StructType
 
             cols = self._ranked_cols(docs, sel)
             names = list(dict.fromkeys(["doc_id"] + cols))
-            tbl = self._pa_dataset("docs").to_table(
-                columns=names,
-                filter=pads.field("doc_id").isin([int(d) for d, _ in hits]),
-            )
+            need = [int(d) for d, _ in hits]
+            tbl = (self._docs_point_table(need, names)
+                   if "segment" not in names else None)
+            if tbl is None:
+                tbl = self._pa_dataset("docs").to_table(
+                    columns=names,
+                    filter=pads.field("doc_id").isin(need),
+                )
             pdf = tbl.to_pandas()
             smap = {int(d): float(s) for d, s in hits}
             pdf["score"] = pdf["doc_id"].map(smap)
