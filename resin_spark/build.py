@@ -1073,10 +1073,11 @@ def _build_segment(
         .write.mode("overwrite")
         # bounded row groups: the top-k point fetch decodes whole row
         # groups to extract single rows, so a 128 MB default group makes
-        # a 10-doc fetch decompress ~2M text rows.  8 MB (~25k rows)
-        # bounds per-hit decode at any corpus size — the 100 TB fetch
-        # path — and enables the targeted row-group reader
-        # (executor._docs_rg_index).
+        # a 10-doc fetch decompress ~2M text rows.  DOCS_ROW_GROUP_BYTES
+        # (2 MB compressed ≈ 20k rows — see the constant's note on
+        # parquet-mr's compressed-buffer sizing) bounds per-hit decode at
+        # any corpus size — the 100 TB fetch path — and enables the
+        # targeted row-group reader (executor._docs_rg_index).
         .option("parquet.block.size", str(DOCS_ROW_GROUP_BYTES))
         .parquet(f"{p_docs(root)}/segment={seg}")
     )

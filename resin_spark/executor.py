@@ -1667,6 +1667,10 @@ class SearchEngine:
         got = (self._lru_get(key)
                if blocks is None or self._AND_LRU_SERVE else None)
         if got is not None:
+            # NOTE: on an lru_hit, postings_collected is the CACHED
+            # full-term unique-doc count (nothing was read), not what a
+            # restricted read would have collected — pruning diagnostics
+            # are only meaningful on rows without the lru_hit flag
             self.last_and_stats[key] = {
                 "blocks_filter": None if blocks is None else len(blocks),
                 "postings_collected": int(len(got[0])),
@@ -1851,12 +1855,16 @@ class SearchEngine:
     def _docs_rg_index(self):
         """Row-group directory of the docs dataset for targeted point
         reads: (mins, cum_max, entries) where entries are (min_doc_id,
-        max_doc_id, ParquetFile, group_idx) sorted by min.  None when any
-        group lacks doc_id stats, is oversized (legacy layout), or the
-        dataset is unavailable — callers fall back to the dataset
-        scanner.  Cached with the pa-dataset lifecycle: refresh() drops
-        it (an append adds files), clear_cache() keeps it (IO metadata,
-        not decoded query data — same contract as the cached datasets)."""
+        max_doc_id, file_path, group_idx) sorted by min.  Holds PATHS,
+        not open handles — a many-file layout must not pin thousands of
+        file descriptors for the engine's lifetime; _docs_point_table
+        reopens the few covering files per fetch (footer parse ~ms).
+        None when any group lacks doc_id stats, is oversized (legacy
+        layout), or the dataset is unavailable — callers fall back to
+        the dataset scanner.  Cached with the pa-dataset lifecycle:
+        refresh() drops it (an append adds files), clear_cache() keeps
+        it (IO metadata, not decoded query data — same contract as the
+        cached datasets)."""
         cached = self._pa_cache.get("__docs_rg__")
         if cached is not None:
             return None if cached == "n/a" else cached
@@ -1871,8 +1879,7 @@ class SearchEngine:
             ok = True
             for f in ds.files:
                 try:
-                    pf = pq.ParquetFile(f)
-                    md = pf.metadata
+                    md = pq.read_metadata(f)
                     ncols = md.num_columns
                     names = [md.schema.column(i).name for i in range(ncols)]
                     ci = names.index("doc_id")
@@ -1888,7 +1895,7 @@ class SearchEngine:
                             or rg.num_rows > self._POINT_RG_MAX_ROWS):
                         ok = False
                         break
-                    entries.append((int(st.min), int(st.max), pf, g))
+                    entries.append((int(st.min), int(st.max), f, g))
                 if not ok:
                     break
             if ok and entries:
@@ -1927,23 +1934,42 @@ class SearchEngine:
             while i >= 0 and cum[i] >= d:
                 e = entries[i]
                 if e[0] <= d <= e[1]:
-                    groups[(id(e[2]), e[3])] = e
+                    groups[(e[2], e[3])] = e
                 i -= 1
         if not groups:
             return None
         try:
-            parts = [pf.read_row_group(g, columns=names)
-                     for (_, _, pf, g) in groups.values()]
+            parts = []
+            by_path: dict[str, list[int]] = {}
+            for (_, _, path, g) in groups.values():
+                by_path.setdefault(path, []).append(g)
+            import pyarrow.parquet as pq
+
+            for path, gs in by_path.items():
+                # open lazily per fetch (footer parse is ~ms): the index
+                # holds PATHS, not handles, so a many-file layout never
+                # pins thousands of file descriptors for the engine's
+                # lifetime
+                pf = pq.ParquetFile(path)
+                for g in sorted(gs):
+                    part = pf.read_row_group(g, columns=names)
+                    if any(n not in part.column_names for n in names):
+                        # pyarrow silently DROPS unknown names from
+                        # ``columns`` — e.g. the hive partition column
+                        # lives in the directory, not the file, and a
+                        # drifted file could lack a column the unified
+                        # dataset schema still lists.  Refuse rather
+                        # than return a narrower table.
+                        return None
+                    parts.append(part)
+            tbl = parts[0] if len(parts) == 1 else pa.concat_tables(parts)
+            return tbl.filter(pc.is_in(
+                tbl["doc_id"], value_set=pa.array(need, type=pa.int64())))
         except Exception:
-            return None  # schema drift — scanner path
-        if any(n not in parts[0].column_names for n in names):
-            # pyarrow silently DROPS unknown names from ``columns`` —
-            # e.g. the hive partition column lives in the directory, not
-            # the file.  Refuse rather than return a narrower table.
+            # schema drift across segments, unreadable file, concat
+            # mismatch — the dataset scanner handles all of these (it
+            # fills nulls from the unified schema)
             return None
-        tbl = parts[0] if len(parts) == 1 else pa.concat_tables(parts)
-        return tbl.filter(pc.is_in(
-            tbl["doc_id"], value_set=pa.array(need, type=pa.int64())))
 
     def _fetch_hits(self, hits: list[tuple[int, float]],
                     sel: list[str] | None) -> DataFrame:

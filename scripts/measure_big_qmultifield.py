@@ -23,7 +23,6 @@ from resin_spark.fixtures import transcripts_df_distributed  # noqa: E402
 QUERIES = {
     "q_multifield": {"and": {"role": "tool", "and": {"text": "search"}}},
     "q_and": {"and": {"text": "banana cantalope"}},
-    "q_phrase_fields": None,  # placeholder slot (unused)
 }
 
 
@@ -50,8 +49,6 @@ def main() -> None:
                 ("text", "cantalope")):
         print(f"df{key} = {dfm.get(key) if dfm else '?'}")
     for name, q in QUERIES.items():
-        if q is None:
-            continue
         ts = []
         for _ in range(3):
             t0 = time.monotonic()
