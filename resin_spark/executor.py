@@ -834,6 +834,12 @@ class SearchEngine:
     # mask-fold fast path bounds: one bit per unique (field, term) key
     _MASK_MAX_KEYS = 63
     _MASK_MAX_CLASSES = 4096
+    # above this many mask classes the score expression switches from a
+    # nested when-chain (codegen-friendly at small depth) to one flat
+    # create_map lookup — Catalyst's recursive analyzer overflows the
+    # JVM stack on chains ~1000+ deep, and the static fold enumerates up
+    # to 4095 classes for 12 keys
+    _MASK_WHEN_CHAIN_MAX = 256
     # search(): up to this many hits fetch via eager top-k + pushed-down
     # doc_id IN point scan (beyond it, the lazy broadcast-join path) —
     # but only when the docs table is big enough that skipping its full
@@ -2254,12 +2260,30 @@ class SearchEngine:
 
         # score per mask class = the fold's addition sequence, left-assoc
         # (same float64 op order as the oracle / join fold)
-        score = F.lit(0.0)
+        pairs = []
         for m in sorted(masks):
             terms_sum = _functools_reduce(
                 lambda a, b: a + b, [w[i] for i in S[m]]
             ) if S[m] else F.lit(0.0)
-            score = F.when(F.col("mask") == m, terms_sum).otherwise(score)
+            pairs.append((int(m), terms_sum))
+        if len(pairs) <= self._MASK_WHEN_CHAIN_MAX:
+            score = F.lit(0.0)
+            for m, ts in pairs:
+                score = F.when(F.col("mask") == m, ts).otherwise(score)
+        else:
+            # many classes (the static fold enumerates the FULL mask
+            # space — up to 4095 for 12 keys): a nested when-chain of
+            # that depth overflows the JVM analyzer stack
+            # (StackOverflowError in Catalyst's recursive tree walk), so
+            # build one FLAT map literal instead — same per-class float64
+            # expressions as map values, depth 1.  The isin filter below
+            # guarantees every surviving row's mask has a map entry.
+            args: list = []
+            for m, ts in pairs:
+                args.append(F.lit(m).cast("long"))
+                args.append(ts.cast("double"))
+            score = F.element_at(F.create_map(*args),
+                                 F.col("mask").cast("long"))
         return (
             per_doc.filter(F.col("mask").isin([int(m) for m in masks]))
             .select("doc_id", score.alias("score"))

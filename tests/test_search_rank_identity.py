@@ -202,3 +202,23 @@ def test_and_block_pruned_empty_intersection_falls_back(engine, oracle,
     got = engine.topk(q, k=10)
     _assert_rank_identical(got, want, "and_quirk_fallback")
     assert calls, "expected the distributed fold after the empty intersection"
+
+
+def test_wide_or_mask_fold_flat_map_expression(spark, engine, oracle,
+                                               fixture_rows):
+    """A 12-key static fold enumerates 4095 mask classes; the nested
+    when-chain form of the score expression overflowed the JVM analyzer
+    stack (StackOverflowError in Catalyst's recursive tree walk — found
+    by deep_fuzz seed 555).  Above _MASK_WHEN_CHAIN_MAX classes the
+    expression is now one flat create_map lookup; this pins the wide-OR
+    shape through the DISTRIBUTED fold against the oracle."""
+    q = {"or": {"text": "apple apples banana cantalope the a hotterm "
+                        "uterm0 uterm1 uterm2 uterm3 uterm4"}}
+    want = oracle_search(oracle, q, k=10)
+    assert want
+    engine._DRIVER_SCORE_MAX_POSTINGS = -1  # force the distributed fold
+    try:
+        got = engine.topk(q, k=10)
+    finally:
+        del engine.__dict__["_DRIVER_SCORE_MAX_POSTINGS"]
+    _assert_rank_identical(got, want, "wide_or_flat_map")
